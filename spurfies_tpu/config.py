@@ -1,0 +1,191 @@
+"""Typed configuration (single system serving train + eval).
+
+The reference has three config layers that drift apart (Hydra YAML, pyhocon
+.conf duplicates, argparse — SURVEY §5 "Config / flag system").  Here one set
+of frozen dataclasses covers every knob, loadable from YAML with dotted CLI
+overrides.  Frozen/hashable so configs can be jit static args.
+
+Knob provenance: ``config/ours.yaml``, ``config/base.yaml``,
+``config/vol/{dtu_pn,mip_nerf,own_data}.yaml`` in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DensityConfig:
+    """LaplaceDensity (reference density.py:16-30; config vol/*.yaml)."""
+    beta_init: float = 0.1
+    beta_min: float = 1e-4
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """ErrorBoundSampler_pn knobs (reference config/vol/dtu_pn.yaml:36-44)."""
+    near: float = 0.5
+    far: float = 4.5
+    n_samples: int = 64
+    n_samples_eval: int = 128
+    n_samples_extra: int = 32
+    eps: float = 0.1
+    beta_iters: int = 10
+    max_total_iters: int = 5
+    add_tiny: float = 1e-6  # reference default 0.0; >0 guards 0/0 for
+    #                         converged rays which it never sampled (we do)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """PointVolSDF knobs (reference config/vol/dtu_pn.yaml:23-35)."""
+    feature_vector_size: int = 64     # color latent dim (geometry = half)
+    scene_bounding_sphere: float = 3.0
+    white_bkgd: bool = False
+    bg_color: tuple = (1.0, 1.0, 1.0)
+    initialize_colors: bool = True
+    k: int = 8                        # neighbors per shading point
+    r: float = 2.0                    # query radius in voxel_size units
+    rbf: float = 45.0                 # RBF sharpness (hardcoded, model :42)
+    vox_res: int = 300                # point-cloud voxel downsample res
+    max_shading_pts: int = 80
+    pos_multires: int = 6             # position encoding bands
+    view_multires: int = 3            # view-dir encoding bands
+    # voxel grid (reference pointneus_disent.py:45-62)
+    voxel_size: float = 0.025
+    voxel_scale: float = 3.0
+    scene_lo: tuple = (-1.0, -1.0, -1.0)
+    scene_hi: tuple = (1.0, 1.0, 1.0)
+    max_pts_per_voxel: int = 26
+    density: DensityConfig = field(default_factory=DensityConfig)
+    ray_sampler: SamplerConfig = field(default_factory=SamplerConfig)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference config/ours.yaml:15-20, loss.py:90-97)."""
+    rgb_weight: float = 1.0
+    eikonal_weight: float = 0.001
+    tv_weight: float = 0.01
+    local_weight: float = 0.5
+    pseudo_weight: float = 0.5
+    mask_weight: float = 1.0
+    rgb_loss: str = "l1"              # "l1" | "mse"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Trainer knobs (reference config/ours.yaml, train.py:175-189)."""
+    learning_rate: float = 5.0e-4
+    latent_learning_rate: float = 5.0e-4  # ref declares 1e-2 group but the
+    #                                       group list is empty (train.py:150-157,
+    #                                       175-183) -> latents train at lr
+    num_pixels: int = 1024
+    opt_steps: int = 100_000
+    cosine_t_max: int = 100_000
+    cosine_eta_min: float = 3.0e-4
+    grad_clip: float = 1.0
+    checkpoint_freq: int = 15_000     # in steps (ref counts epochs; 1 img/ep)
+    render_freq: int = 500
+    split_n_pixels: int = 500
+    fast_iters: int = 1               # sampler iterations during training
+    seed: int = 0
+    data_parallel: int = 1            # ray-sharded devices
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = "own_data"        # own_data | dtu | mipnerf
+    data_dir_root: str = "data"
+    scan_id: str = "114"
+    img_res: tuple = (576, 768)
+    num_views: int = 3
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    dataset: DataConfig = field(default_factory=DataConfig)
+    expname: str = "ours"
+    exps_folder: str = "exps"
+
+
+# ---------------------------------------------------------------------------
+# Generic dataclass <- dict/YAML/CLI plumbing.
+# ---------------------------------------------------------------------------
+
+def _coerce(tp, value):
+    if dataclasses.is_dataclass(tp) and isinstance(value, dict):
+        return _from_dict(tp, value)
+    if tp is tuple or getattr(tp, "__origin__", None) is tuple:
+        return tuple(value)
+    return value
+
+
+def _from_dict(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in d.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key '{key}' for {cls.__name__}")
+        ftype = fields[key].type
+        resolved = _resolve_type(cls, ftype)
+        kwargs[key] = _coerce(resolved, value)
+    return cls(**kwargs)
+
+
+def _resolve_type(cls, ftype):
+    if isinstance(ftype, str):
+        import sys
+        mod = sys.modules[cls.__module__]
+        return getattr(mod, ftype, eval(ftype, vars(mod)))  # noqa: S307
+    return ftype
+
+
+def config_from_dict(d: dict) -> Config:
+    return _from_dict(Config, d)
+
+
+def load_yaml(path: str) -> Config:
+    import yaml
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return config_from_dict(d)
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``a.b.c=value`` dotted overrides (reference Hydra-CLI surface)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got '{ov}'")
+        key, _, raw = ov.partition("=")
+        cfg = _set_dotted(cfg, key.strip().split("."), _parse_value(raw.strip()))
+    return cfg
+
+
+def _parse_value(raw: str) -> Any:
+    import json
+    try:
+        return json.loads(raw)
+    except (ValueError, TypeError):
+        return raw
+
+
+def _set_dotted(obj, path: list[str], value):
+    name = path[0]
+    if not dataclasses.is_dataclass(obj) or name not in {
+        f.name for f in dataclasses.fields(obj)
+    }:
+        raise KeyError(f"unknown config path element '{name}'")
+    if len(path) == 1:
+        current = getattr(obj, name)
+        if isinstance(current, tuple) and isinstance(value, list):
+            value = tuple(value)
+        return dataclasses.replace(obj, **{name: value})
+    return dataclasses.replace(
+        obj, **{name: _set_dotted(getattr(obj, name), path[1:], value)}
+    )

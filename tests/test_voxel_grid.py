@@ -1,0 +1,138 @@
+"""Voxel-grid kNN vs brute-force oracle (SURVEY §4: kernel unit tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spurfies_tpu.ops import (
+    VoxelGridSpec,
+    build_grid,
+    compact_rays,
+    knn_brute,
+    query_grid,
+    voxel_downsample,
+)
+
+SPEC = VoxelGridSpec()  # reference defaults: 0.025*3 cells over ±1
+
+
+def _random_cloud(rng, n=2000, scale=0.8):
+    return rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+
+
+class TestBuildGrid:
+    def test_all_points_in_table(self, rng):
+        pts = _random_cloud(rng, 500)
+        table = build_grid(jnp.asarray(pts), SPEC)
+        present = np.asarray(table).ravel()
+        present = set(present[present >= 0].tolist())
+        assert present == set(range(500))  # sparse cloud: nothing dropped
+
+    def test_cap_drops_excess(self):
+        # 40 points in the same cell, cap 26 -> 26 kept
+        pts = jnp.asarray(
+            np.full((40, 3), 0.01, dtype=np.float32)
+            + np.random.default_rng(1).uniform(0, 0.001, (40, 3)).astype(np.float32)
+        )
+        table = build_grid(pts, SPEC)
+        kept = np.asarray(table).ravel()
+        assert (kept >= 0).sum() == SPEC.max_pts_per_cell
+
+    def test_out_of_range_dropped(self):
+        pts = jnp.asarray(np.array([[5.0, 5.0, 5.0], [0.0, 0.0, 0.0]],
+                                   dtype=np.float32))
+        table = build_grid(pts, SPEC)
+        kept = np.asarray(table).ravel()
+        kept = kept[kept >= 0]
+        assert kept.tolist() == [1]
+
+
+class TestQueryParity:
+    @pytest.mark.parametrize("r", [2.0, 4.0])
+    def test_matches_bruteforce(self, rng, r):
+        pts = _random_cloud(rng, 3000)
+        x = rng.uniform(-0.9, 0.9, size=(512, 3)).astype(np.float32)
+        table = build_grid(jnp.asarray(pts), SPEC)
+        gi, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
+                            k=8, r=r, chunk=256)
+        bi, bd = knn_brute(jnp.asarray(x), jnp.asarray(pts), k=8,
+                           radius=SPEC.radius(r))
+        gi, gd, bi, bd = map(np.asarray, (gi, gd, bi, bd))
+        # same validity pattern and same distances (sets may tie-break
+        # differently; distances must match exactly)
+        np.testing.assert_array_equal(gi >= 0, bi >= 0)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(gd), gd, 0),
+            np.where(np.isfinite(bd), bd, 0),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_radius_respected(self, rng):
+        pts = _random_cloud(rng, 3000)
+        x = rng.uniform(-0.9, 0.9, size=(256, 3)).astype(np.float32)
+        table = build_grid(jnp.asarray(pts), SPEC)
+        gi, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
+                            k=8, r=2.0)
+        gd = np.asarray(gd)
+        assert np.all(gd[np.isfinite(gd)] <= SPEC.radius(2.0) ** 2 + 1e-9)
+
+    def test_isolated_query_no_neighbors(self, rng):
+        pts = jnp.asarray(np.zeros((10, 3), dtype=np.float32))
+        x = jnp.asarray(np.full((4, 3), 0.9, dtype=np.float32))
+        table = build_grid(pts, SPEC)
+        gi, gd = query_grid(x, pts, table, SPEC, k=8, r=2.0)
+        assert np.all(np.asarray(gi) == -1)
+
+    def test_nearest_first_ordering(self, rng):
+        pts = _random_cloud(rng, 2000)
+        x = rng.uniform(-0.5, 0.5, size=(128, 3)).astype(np.float32)
+        table = build_grid(jnp.asarray(pts), SPEC)
+        _, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
+                           k=8, r=4.0)
+        gd = np.asarray(gd)
+        gd_f = np.where(np.isfinite(gd), gd, np.inf)
+        assert np.all(np.diff(gd_f, axis=-1) >= -1e-9)
+
+
+class TestCompactRays:
+    def test_basic(self):
+        valid = jnp.asarray(np.array([
+            [0, 1, 1, 0, 1],
+            [0, 0, 0, 0, 0],
+            [1, 1, 1, 1, 1],
+        ], dtype=bool))
+        sel, ok = compact_rays(valid, 3)
+        np.testing.assert_array_equal(np.asarray(sel[0]), [1, 2, 4])
+        assert np.asarray(ok[0]).all()
+        assert not np.asarray(ok[1]).any()
+        np.testing.assert_array_equal(np.asarray(sel[2]), [0, 1, 2])
+
+    def test_cap(self):
+        valid = jnp.ones((2, 10), dtype=bool)
+        sel, ok = compact_rays(valid, 4)
+        np.testing.assert_array_equal(np.asarray(sel), [[0, 1, 2, 3]] * 2)
+        assert np.asarray(ok).all()
+
+
+class TestVoxelDownsample:
+    def test_reduces_and_preserves(self, rng):
+        pts = _random_cloud(rng, 5000, scale=0.5)
+        out, _, keep = voxel_downsample(pts, vox_res=20)
+        assert out.shape[0] < 5000
+        assert out.shape[0] > 100
+        # every kept point is an original point
+        np.testing.assert_allclose(out, pts[keep])
+
+    def test_one_per_voxel(self):
+        # two tight clusters -> 2 points
+        a = np.full((50, 3), 0.1) + np.random.default_rng(0).normal(0, 1e-4, (50, 3))
+        b = np.full((50, 3), -0.4) + np.random.default_rng(1).normal(0, 1e-4, (50, 3))
+        pts = np.vstack([a, b]).astype(np.float32)
+        out, _, _ = voxel_downsample(pts, vox_res=5)
+        assert out.shape[0] == 2
+
+    def test_colors_carried(self, rng):
+        pts = _random_cloud(rng, 1000, scale=0.5)
+        cols = rng.uniform(0, 255, size=(1000, 3)).astype(np.float32)
+        out, oc, keep = voxel_downsample(pts, 20, cols)
+        np.testing.assert_allclose(oc, cols[keep])
