@@ -12,6 +12,7 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray,
     """
     se = (img1 - img2) ** 2
     if mask is not None:
+        mask = jnp.broadcast_to(mask, se.shape)
         mse = jnp.sum(se * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     else:
         mse = jnp.mean(se)

@@ -1,0 +1,138 @@
+"""Neural-point SDF/color field: RBF interpolation over kNN latents.
+
+Behavioral spec from reference ``spurfies/model/pointneus_disent.py``:
+  * RBF weights ``exp(-(45 d)^2)`` with detached distances, normalized per
+    shading point (:241-247).
+  * SDF: frozen F_geometry([geo_latent, x-p]) -> T -> per-pair SDF, weighted
+    average over the k neighbors (:300-313).
+  * color: F_color([posenc(x-p), color_latent]) aggregated, then
+    R([viewenc(dir), agg_feat]) -> sigmoid (:325-346).
+  * point gradients via autograd double-backprop (:315-323) -> here jax.grad.
+  * empty space filler SDF = 1000 (:271).
+
+TPU design: everything is dense ``[M, K]`` with validity masks; the pair MLPs
+run as single large matmuls (MXU) instead of the reference's ragged
+masked_select pipelines.  One probe function serves the four copy-pasted
+reference variants (get_sdf_eval / sdf_importance / pseudo_sdf / sdf_reg).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spurfies_tpu.core.embedder import positional_encoding
+from spurfies_tpu.model.networks import mlp_apply
+from spurfies_tpu.ops.voxel_grid import query_grid
+
+SDF_FILLER = 1000.0
+
+
+def rbf_weights(x_pi: jnp.ndarray, valid: jnp.ndarray, rbf: float):
+    """Normalized RBF interpolation weights.
+
+    Args:
+      x_pi: ``[M, K, 3]`` shading-point minus neighbor-position offsets.
+      valid: ``[M, K]`` neighbor validity.
+      rbf: sharpness (reference hardcodes 45, pointneus_disent.py:42).
+
+    Returns:
+      (w ``[M, K]`` unnormalized (invalid -> 0), norm ``[M, 1]``).
+
+    Distances are stop-gradient (reference detaches, :242).
+    """
+    dist = jnp.maximum(jnp.linalg.norm(x_pi, axis=-1), 1e-12)
+    dist = jax.lax.stop_gradient(dist)
+    w = jnp.exp(-((dist * rbf) ** 2)) * valid.astype(x_pi.dtype)
+    norm = jnp.sum(w, axis=-1, keepdims=True)
+    return w, norm
+
+
+def pair_sdf(frozen, geo_feats: jnp.ndarray, x_pi: jnp.ndarray):
+    """Per-(point, neighbor)-pair SDF: T(F_geometry([geo, x_pi]))."""
+    field_in = jnp.concatenate([geo_feats, x_pi], axis=-1)
+    h = mlp_apply(frozen["F_geometry"], field_in)
+    return mlp_apply(frozen["T"], h)[..., 0]
+
+
+def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
+    """RBF-weighted SDF at positions ``x``.
+
+    Args:
+      geo_latents: ``[N, 32]``; points: ``[N, 3]``.
+      idx: ``[M, K]`` neighbor indices (clipped >= 0 where invalid).
+      valid: ``[M, K]``; x: ``[M, 3]``.
+
+    Returns:
+      (sdf ``[M]`` — SDF_FILLER where no valid neighbor, any ``[M]`` bool).
+    """
+    safe_idx = jnp.maximum(idx, 0)
+    npos = points[safe_idx]                       # [M, K, 3]
+    gfeat = geo_latents[safe_idx]                 # [M, K, 32]
+    x_pi = x[:, None, :] - npos
+    w, norm = rbf_weights(x_pi, valid, rbf)
+    s = pair_sdf(frozen, gfeat, x_pi)             # [M, K]
+    s = jnp.where(valid, s, 0.0)
+    has = norm[..., 0] > 0
+    agg = jnp.sum(w * s, axis=-1) / jnp.where(has, norm[..., 0], 1.0)
+    return jnp.where(has, agg, SDF_FILLER), has
+
+
+def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf, chunk=16384):
+    """SDF at arbitrary world points (filler 1000 in empty space).
+
+    One function replacing the reference's get_sdf_eval (:249-298),
+    sdf_importance (:348-421), pseudo_sdf (:423-495) and sdf_reg (:518-583),
+    which are the same computation copy-pasted four times.
+    """
+    idx, _ = query_grid(x, scene.points, scene.table, scene.spec,
+                        k=k, r=r, chunk=chunk)
+    valid = idx >= 0
+    sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx, valid,
+                           x, rbf)
+    return sdf
+
+
+def sdf_and_grad(frozen, geo_latents, points, idx, valid, x, rbf):
+    """Aggregated SDF and its spatial gradient d(sdf)/dx.
+
+    Equivalent of the reference's autograd double-backprop
+    (pointneus_disent.py:315-323); in JAX a per-point value_and_grad that
+    remains differentiable w.r.t. latents/params (for eikonal training).
+    """
+    def scalar_sdf(xi, idx_i, valid_i):
+        s, _ = aggregate_sdf(frozen, geo_latents, points, idx_i[None],
+                             valid_i[None], xi[None], rbf)
+        return s[0]
+
+    f = jax.vmap(jax.value_and_grad(scalar_sdf), in_axes=(0, 0, 0))
+    sdf, grad = f(x, idx, valid)
+    return sdf, grad
+
+
+def aggregate_color(train_params, color_latents, points, idx, valid, x,
+                    ray_dirs, rbf, pos_multires=6, view_multires=3):
+    """View-dependent color at shading points.
+
+    Args:
+      x: ``[M, 3]`` shading points; ray_dirs: ``[M, 3]`` unit directions.
+
+    Returns colors ``[M, 3]`` in [0, 1].
+    """
+    safe_idx = jnp.maximum(idx, 0)
+    npos = points[safe_idx]
+    cfeat = color_latents[safe_idx]               # [M, K, 64]
+    x_pi = x[:, None, :] - npos
+    w, norm = rbf_weights(x_pi, valid, rbf)
+
+    pos_enc = positional_encoding(x_pi, pos_multires)       # [M, K, 39]
+    field_in = jnp.concatenate([pos_enc, cfeat], axis=-1)   # [M, K, 103]
+    feat = mlp_apply(train_params["F_color"], field_in)     # [M, K, 256]
+    feat = jnp.where(valid[..., None], feat, 0.0)
+    has = norm > 0
+    agg = jnp.sum(w[..., None] * feat, axis=-2) / jnp.where(has, norm, 1.0)
+
+    dir_enc = positional_encoding(ray_dirs, view_multires)  # [M, 21]
+    rgb = mlp_apply(train_params["R"], jnp.concatenate([dir_enc, agg], -1),
+                    final_act="sigmoid")
+    return rgb

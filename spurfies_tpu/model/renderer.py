@@ -1,0 +1,202 @@
+"""Full neural-point VolSDF forward pass (dense, static-shape).
+
+Behavioral spec from reference ``spurfies/model/pointneus_disent.py:614-908``
+(see SURVEY §3.1 for the call stack).  Differences by design (TPU-first):
+  * no ragged ray/sample compaction — dense ``[R, S]`` with masks; the
+    reference's ``max_shading_pts`` cap becomes :func:`ops.compact_rays`.
+  * the voxel table is prebuilt in SceneState (points are static).
+  * spatial SDF gradients via jax.grad instead of autograd double backprop.
+
+Outputs mirror the reference dict: rgb_values, depth_values, depth_vals,
+weights, xyz, normals (eval), grad_theta (train), plus mask/aux terms the
+loss consumes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spurfies_tpu.config import ModelConfig
+from spurfies_tpu.core.cameras import get_camera_params
+from spurfies_tpu.core.density import get_beta, laplace_density
+from spurfies_tpu.core.quadrature import render_weights
+from spurfies_tpu.model import field
+from spurfies_tpu.model.sampler import error_bound_z_vals
+from spurfies_tpu.ops.voxel_grid import compact_rays, query_grid
+
+
+def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
+                train: bool, iters: int):
+    """Render a batch of rays.
+
+    Args:
+      params: ``{"frozen": ..., "train": ...}`` (train includes latents+beta).
+      scene: SceneState.
+      inputs: dict with ``uv [1, R, 2]``, ``pose [1, 4, 4]``,
+        ``intrinsics [1, 4, 4]``.
+      key: PRNG key (sampling).
+      train: static — stratified sampling, grad_theta output.
+      iters: static sampler iteration count (train fast=1; eval
+        max_total_iters).
+
+    Returns:
+      dict of dense ``[R, ...]`` outputs + ``ray_mask``.
+    """
+    frozen = params["frozen"]
+    tp = params["train"]
+    scfg = cfg.ray_sampler
+    S = cfg.max_shading_pts
+    K = cfg.k
+
+    uv = inputs["uv"]
+    pose = inputs["pose"]
+    intrinsics = inputs["intrinsics"]
+
+    ray_dirs_b, cam_loc_b = get_camera_params(uv, pose, intrinsics)
+    ray_dirs = ray_dirs_b.reshape(-1, 3)
+    n_rays = ray_dirs.shape[0]
+    cam_loc = jnp.broadcast_to(cam_loc_b[:, None, :],
+                               ray_dirs_b.shape).reshape(-1, 3)
+
+    # depth scale: z-component of rays in camera frame (reference :642-645)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=pose.dtype), pose.shape)
+    dirs_cam, _ = get_camera_params(uv, eye, intrinsics)
+    depth_scale = dirs_cam.reshape(-1, 3)[:, 2:]
+
+    beta_param = tp["beta"]
+    beta0 = jax.lax.stop_gradient(get_beta(beta_param, cfg.density.beta_min))
+
+    def sdf_probe_fn(x):
+        return field.sdf_probe(
+            jax.lax.stop_gradient(frozen),
+            jax.lax.stop_gradient(tp["feats_geometry"]),
+            scene, x, cfg.k, cfg.r, cfg.rbf,
+        )
+
+    key, skey = jax.random.split(key)
+    z_all = error_bound_z_vals(skey, sdf_probe_fn, cam_loc, ray_dirs, scfg,
+                               beta0, iters, train)  # [R, Z]
+    z_all = jax.lax.stop_gradient(z_all)
+    points = cam_loc[:, None, :] + z_all[..., None] * ray_dirs[:, None, :]
+
+    # neighbor query over all samples, then first-S compaction per ray
+    flat_pts = points.reshape(-1, 3)
+    idx_all, _ = query_grid(flat_pts, scene.points, scene.table, scene.spec,
+                            k=K, r=cfg.r)
+    idx_all = idx_all.reshape(n_rays, -1, K)
+    has_any = jnp.any(idx_all >= 0, axis=-1)           # [R, Z]
+
+    sel, sel_valid = compact_rays(has_any, S)          # [R, S]
+    z_sel = jnp.take_along_axis(z_all, sel, axis=-1)
+    z_sel = jnp.where(sel_valid, z_sel, 0.0)           # filler 0 (ref :220-224)
+    nbr_idx = jnp.take_along_axis(idx_all, sel[..., None], axis=1)  # [R,S,K]
+    nbr_valid = (nbr_idx >= 0) & sel_valid[..., None]
+
+    # deltas over the compacted grid (reference filter_points :226-232)
+    z_pad = jnp.concatenate([z_sel, jnp.zeros_like(z_sel[..., :1])], -1)
+    deltas = z_pad[..., 1:] - z_pad[..., :-1]
+    deltas = jnp.where(sel_valid, deltas, 0.0)
+    deltas = jnp.maximum(deltas, 0.0)
+
+    shading_pts = cam_loc[:, None, :] + z_sel[..., None] * ray_dirs[:, None, :]
+    flat_x = shading_pts.reshape(-1, 3)
+    flat_idx = nbr_idx.reshape(-1, K)
+    flat_valid = nbr_valid.reshape(-1, K)
+
+    sdf_flat, grad_flat = field.sdf_and_grad(
+        frozen, tp["feats_geometry"], scene.points, flat_idx, flat_valid,
+        flat_x, cfg.rbf,
+    )
+    sdf = sdf_flat.reshape(n_rays, S)
+    gradients = grad_flat.reshape(n_rays, S, 3)
+
+    flat_dirs = jnp.broadcast_to(
+        ray_dirs[:, None, :], (n_rays, S, 3)
+    ).reshape(-1, 3)
+    colors = field.aggregate_color(
+        tp, tp["feats_color"], scene.points, flat_idx, flat_valid, flat_x,
+        flat_dirs, cfg.rbf, cfg.pos_multires, cfg.view_multires,
+    ).reshape(n_rays, S, 3)
+
+    valid_pt = sel_valid                                # [R, S]
+    beta = get_beta(beta_param, cfg.density.beta_min)
+    density = jnp.where(valid_pt, laplace_density(sdf, beta), 0.0)
+    weights = render_weights(deltas, density)           # [R, S]
+
+    colors = jnp.where(valid_pt[..., None], colors, 0.0)
+    rgb = jnp.sum(weights[..., None] * colors, axis=1)  # [R, 3]
+    acc = jnp.sum(weights, -1, keepdims=True)
+    depth = jnp.sum(weights * z_sel, -1, keepdims=True) / (acc + 1e-8)
+
+    ray_mask = jnp.any(valid_pt, axis=-1)
+
+    # pseudo-SDF points: weight-normalized rendered depth (reference :765-775)
+    w_norm = weights / (jnp.sum(weights, -1, keepdims=True) + 1e-10)
+    dist_map = jnp.sum(w_norm * z_sel, -1)
+    pts_rendered = cam_loc + ray_dirs * dist_map[:, None]
+
+    out = {
+        "rgb_values": jnp.where(ray_mask[:, None], rgb, 0.0),
+        "depth_values": jnp.where(ray_mask[:, None], depth, 1.0),
+        "acc": jnp.where(ray_mask[:, None], acc, 0.0),
+        "weights": jnp.where(ray_mask[:, None], weights, 0.0),
+        "depth_vals": jnp.where(
+            ray_mask[:, None], z_sel * depth_scale, scfg.far
+        ),
+        "xyz": jnp.where(valid_pt[..., None], shading_pts, 0.0),
+        "sdf": jnp.where(valid_pt, sdf, field.SDF_FILLER),
+        "z_sel": z_sel,
+        "valid_pt": valid_pt,
+        "ray_mask": ray_mask,
+        "pts_rendered": pts_rendered,
+        "grad_theta": gradients,
+        "cam_loc": cam_loc,
+        "ray_dirs": ray_dirs,
+    }
+
+    if cfg.white_bkgd:
+        out["rgb_values"] = out["rgb_values"] + (1.0 - acc) * jnp.asarray(
+            cfg.bg_color
+        )
+
+    if not train:
+        g = jax.lax.stop_gradient(gradients)
+        normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
+        normals = jnp.where(valid_pt[..., None], normals, 0.0)
+        out["normal_map"] = jnp.sum(weights[..., None] * normals, axis=1)
+
+    return out
+
+
+def pseudo_sdf_loss(params, scene, out, cfg: ModelConfig):
+    """L1-to-zero of SDF at rendered depth points (reference :765-780).
+
+    Masked mean over rays whose rendered point has neighbors (the reference
+    averages over the compacted valid set only).
+    """
+    sdf = field.sdf_probe(
+        params["frozen"], params["train"]["feats_geometry"], scene,
+        out["pts_rendered"], cfg.k, cfg.r, cfg.rbf,
+    )
+    valid = (sdf < field.SDF_FILLER / 2) & out["ray_mask"]
+    abs_sdf = jnp.where(valid, jnp.abs(sdf), 0.0)
+    return jnp.sum(abs_sdf) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def tv_loss(params, scene):
+    """Graph TV on geometry latents (reference utils.tv_regul :221-282).
+
+    Inverse-distance-weighted L1 over the precomputed kNN graph.
+    """
+    feats = params["train"]["feats_geometry"]
+    pts = scene.points
+    idx, valid = scene.tv_idx, scene.tv_valid
+    npos = pts[idx]                                   # [N, k, 3]
+    d = jnp.linalg.norm(npos - pts[:, None, :], axis=-1)
+    w = jnp.where(valid, 1.0 / (d + 1e-5), 0.0)
+    fdist = jnp.sum(jnp.abs(feats[idx] - feats[:, None, :]), axis=-1)
+    num = jnp.sum(w * fdist, axis=-1)
+    den = jnp.sum(w, axis=-1)
+    tv = num / jnp.maximum(den, 1e-12)
+    return jnp.mean(tv)

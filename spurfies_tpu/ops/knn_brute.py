@@ -28,12 +28,15 @@ def knn_brute(x: jnp.ndarray, points: jnp.ndarray, k: int = 8,
     xp = jnp.pad(x, ((0, pad), (0, 0)))
 
     # |x - p|^2 = |x|^2 - 2 x.p + |p|^2 — the cross term is a matmul (MXU).
+    # HIGHEST precision: the default bf16 TPU matmul loses ~1e-3 on d^2,
+    # which flips validity for neighbors near the radius boundary.
     p_sq = jnp.sum(points ** 2, axis=-1)
 
     def one_chunk(xc):
         d2 = (
             jnp.sum(xc ** 2, axis=-1, keepdims=True)
-            - 2.0 * xc @ points.T
+            - 2.0 * jnp.matmul(xc, points.T,
+                               precision=jax.lax.Precision.HIGHEST)
             + p_sq[None, :]
         )
         d2 = jnp.maximum(d2, 0.0)

@@ -111,15 +111,17 @@ def build_grid(points: jnp.ndarray, spec: VoxelGridSpec) -> jnp.ndarray:
     return table.reshape(spec.num_cells, cap)
 
 
-def _kernel_offsets(spec: VoxelGridSpec) -> np.ndarray:
-    k = spec.kernel
-    half = k // 2
+def _kernel_offsets(spec: VoxelGridSpec, radius: float) -> np.ndarray:
+    # Window half-width: at least the configured kernel, widened if the query
+    # radius exceeds the cell edge (the CUDA kernel would silently miss those
+    # neighbors; we widen instead).
+    half = max(spec.kernel // 2, int(np.ceil(radius / spec.cell_size)))
     rng = np.arange(-half, half + 1)
     return np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
                     axis=-1).reshape(-1, 3).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("spec", "k", "chunk"))
+@partial(jax.jit, static_argnames=("spec", "k", "r", "chunk"))
 def query_grid(x: jnp.ndarray, points: jnp.ndarray, table: jnp.ndarray,
                spec: VoxelGridSpec, k: int = 8, r: float = 2.0,
                chunk: int = 16384):
@@ -139,7 +141,7 @@ def query_grid(x: jnp.ndarray, points: jnp.ndarray, table: jnp.ndarray,
     """
     m = x.shape[0]
     radius2 = spec.radius(r) ** 2
-    offsets = jnp.asarray(_kernel_offsets(spec))  # [27, 3]
+    offsets = jnp.asarray(_kernel_offsets(spec, spec.radius(r)))  # [27, 3]
     dims = jnp.asarray(spec.dims, dtype=jnp.int32)
     lo = jnp.asarray(spec.lo, dtype=x.dtype)
     cap = spec.max_pts_per_cell

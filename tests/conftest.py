@@ -14,8 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

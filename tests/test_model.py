@@ -1,0 +1,283 @@
+"""Model-layer tests: networks, field interpolation, sampler, renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spurfies_tpu.config import ModelConfig, SamplerConfig
+from spurfies_tpu.core.embedder import encoding_dim
+from spurfies_tpu.model import field
+from spurfies_tpu.model.networks import init_model_params, mlp_apply, mlp_init
+from spurfies_tpu.model.neural_points import build_scene
+from spurfies_tpu.model.renderer import render_rays, tv_loss
+from spurfies_tpu.model.sampler import (
+    error_bound_z_vals,
+    sample_pdf,
+    uniform_z_vals,
+)
+
+CFG = ModelConfig()
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    """Points on a radius-0.5 sphere + inited params (shared, built once)."""
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(4000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = (0.5 * v).astype(np.float32)
+    cols = rng.uniform(0, 255, size=(4000, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    scene, latents = build_scene(key, pts, CFG, cols)
+    params = init_model_params(jax.random.PRNGKey(1), CFG)
+    params["train"].update(latents)
+    return scene, params
+
+
+class TestNetworks:
+    def test_shapes(self):
+        p = init_model_params(jax.random.PRNGKey(0), CFG)
+        fg = p["frozen"]["F_geometry"]
+        assert len(fg) == 5
+        assert fg[0]["w"].shape == (35, 256)
+        assert p["frozen"]["T"][0]["w"].shape == (256, 1)
+        fc = p["train"]["F_color"]
+        assert len(fc) == 4
+        assert fc[0]["w"].shape == (64 + encoding_dim(6, 3), 256)
+        r = p["train"]["R"]
+        assert r[0]["w"].shape == (256 + encoding_dim(3, 3), 256)
+        assert r[-1]["w"].shape == (256, 3)
+
+    def test_mlp_apply_manual(self):
+        layers = mlp_init(jax.random.PRNGKey(0), [4, 8, 2])
+        x = jnp.ones((3, 4))
+        out = mlp_apply(layers, x)
+        w0, b0 = np.asarray(layers[0]["w"]), np.asarray(layers[0]["b"])
+        w1, b1 = np.asarray(layers[1]["w"]), np.asarray(layers[1]["b"])
+        h = np.ones((3, 4)) @ w0 + b0
+        h = np.where(h > 0, h, 0.01 * h)  # LeakyReLU(0.01)
+        expected = h @ w1 + b1
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                                   atol=1e-6)
+
+    def test_sigmoid_head(self):
+        layers = mlp_init(jax.random.PRNGKey(0), [4, 3])
+        out = mlp_apply(layers, jnp.ones((2, 4)), final_act="sigmoid")
+        assert np.all((np.asarray(out) > 0) & (np.asarray(out) < 1))
+
+    def test_init_bounds(self):
+        layers = mlp_init(jax.random.PRNGKey(0), [16, 8])
+        bound = 1 / np.sqrt(16)
+        assert np.abs(np.asarray(layers[0]["w"])).max() <= bound
+        assert np.abs(np.asarray(layers[0]["b"])).max() <= bound
+
+
+class TestField:
+    def test_rbf_weights(self):
+        x_pi = jnp.asarray([[[0.01, 0, 0], [0.02, 0, 0]]])
+        valid = jnp.asarray([[True, True]])
+        w, norm = field.rbf_weights(x_pi, valid, 45.0)
+        expected = np.exp(-((np.array([0.01, 0.02]) * 45.0) ** 2))
+        np.testing.assert_allclose(np.asarray(w[0]), expected, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(norm[0, 0]), expected.sum(),
+                                   rtol=1e-5)
+
+    def test_rbf_invalid_zero(self):
+        x_pi = jnp.ones((1, 2, 3)) * 0.01
+        valid = jnp.asarray([[True, False]])
+        w, _ = field.rbf_weights(x_pi, valid, 45.0)
+        assert np.asarray(w)[0, 1] == 0.0
+
+    def test_aggregate_single_neighbor_is_pair_sdf(self, sphere_scene):
+        scene, params = sphere_scene
+        frozen = params["frozen"]
+        geo = params["train"]["feats_geometry"]
+        x = scene.points[0:1] + jnp.asarray([[0.01, 0.0, 0.0]])
+        idx = jnp.asarray([[0, -1, -1, -1, -1, -1, -1, -1]], dtype=jnp.int32)
+        valid = idx >= 0
+        agg, has = field.aggregate_sdf(frozen, geo, scene.points, idx, valid,
+                                       x, 45.0)
+        x_pi = (x - scene.points[0:1])[:, None, :]
+        direct = field.pair_sdf(frozen, geo[0:1][None], x_pi)
+        assert bool(has[0])
+        np.testing.assert_allclose(np.asarray(agg[0]),
+                                   np.asarray(direct[0, 0]), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_filler_no_neighbors(self, sphere_scene):
+        scene, params = sphere_scene
+        sdf = field.sdf_probe(
+            params["frozen"], params["train"]["feats_geometry"], scene,
+            jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.9, 0.9]]), CFG.k, CFG.r,
+            CFG.rbf,
+        )
+        np.testing.assert_allclose(np.asarray(sdf), field.SDF_FILLER)
+
+    def test_grad_matches_fd(self, sphere_scene):
+        scene, params = sphere_scene
+        frozen = params["frozen"]
+        geo = params["train"]["feats_geometry"]
+        x = scene.points[:4] + 0.012
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.points, scene.table, scene.spec,
+                            k=CFG.k, r=CFG.r)
+        valid = idx >= 0
+        sdf, grad = field.sdf_and_grad(frozen, geo, scene.points, idx, valid,
+                                       x, CFG.rbf)
+        eps = 1e-3
+        for d in range(3):
+            dx = jnp.zeros((4, 3)).at[:, d].set(eps)
+            sp, _ = field.aggregate_sdf(frozen, geo, scene.points, idx, valid,
+                                        x + dx, CFG.rbf)
+            sm, _ = field.aggregate_sdf(frozen, geo, scene.points, idx, valid,
+                                        x - dx, CFG.rbf)
+            fd = (sp - sm) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(grad[:, d]),
+                                       np.asarray(fd), rtol=2e-2, atol=2e-3)
+
+    def test_color_range(self, sphere_scene):
+        scene, params = sphere_scene
+        x = scene.points[:8] + 0.005
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.points, scene.table, scene.spec,
+                            k=CFG.k, r=CFG.r)
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+        rgb = field.aggregate_color(
+            params["train"], params["train"]["feats_color"], scene.points,
+            idx, idx >= 0, x, dirs, CFG.rbf,
+        )
+        assert rgb.shape == (8, 3)
+        assert np.all((np.asarray(rgb) >= 0) & (np.asarray(rgb) <= 1))
+
+
+class TestSampler:
+    def test_uniform_bounds(self):
+        z = uniform_z_vals(jax.random.PRNGKey(0), 16, 0.5, 4.5, 64, False)
+        assert z.shape == (16, 64)
+        np.testing.assert_allclose(np.asarray(z[:, 0]), 0.5)
+        np.testing.assert_allclose(np.asarray(z[:, -1]), 4.5)
+        z2 = uniform_z_vals(jax.random.PRNGKey(0), 16, 0.5, 4.5, 64, True)
+        assert np.all(np.diff(np.asarray(z2), axis=-1) > 0)
+        assert np.asarray(z2).min() >= 0.5 and np.asarray(z2).max() <= 4.5
+
+    def test_sample_pdf_uniform(self):
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (4, 11))
+        pdf = jnp.ones((4, 10))
+        s = sample_pdf(jax.random.PRNGKey(0), bins, pdf, 21,
+                       deterministic=True)
+        np.testing.assert_allclose(np.asarray(s[0]),
+                                   np.linspace(0, 1, 21), atol=1e-5)
+
+    def test_sample_pdf_concentrates(self):
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (1, 11))
+        pdf = jnp.zeros((1, 10)).at[:, 5].set(1.0)
+        s = sample_pdf(jax.random.PRNGKey(0), bins, pdf, 16,
+                       deterministic=True)
+        s = np.asarray(s)
+        # all but the u=1.0 edge sample land in the hot bin (u=1 maps to the
+        # far bin edge — same behavior as the reference searchsorted path)
+        assert np.all((s[:, :-1] >= 0.5 - 1e-5) & (s[:, :-1] <= 0.6 + 1e-5))
+
+    @pytest.mark.parametrize("iters,train", [(1, True), (3, False)])
+    def test_error_bound_shapes(self, sphere_scene, iters, train):
+        scene, params = sphere_scene
+        scfg = SamplerConfig(near=0.5, far=4.5)
+
+        def sdf_fn(x):
+            return field.sdf_probe(
+                params["frozen"], params["train"]["feats_geometry"], scene,
+                x, CFG.k, CFG.r, CFG.rbf,
+            )
+
+        n = 8
+        cam = jnp.tile(jnp.asarray([[0.0, 0.0, -1.5]]), (n, 1))
+        dirs = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
+        dirs[:, 0] = np.linspace(-0.3, 0.3, n)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        z = error_bound_z_vals(
+            jax.random.PRNGKey(0), sdf_fn, cam, jnp.asarray(dirs), scfg,
+            jnp.asarray(0.1), iters, train,
+        )
+        assert z.shape == (n, scfg.n_samples + scfg.n_samples_extra + 2)
+        z = np.asarray(z)
+        assert np.all(np.diff(z, axis=-1) >= 0)
+        assert z.min() >= scfg.near - 1e-5 and z.max() <= scfg.far + 1e-5
+
+
+class TestRenderer:
+    def _inputs(self, n=32):
+        h = w = 16
+        uv = np.stack(np.meshgrid(np.arange(w), np.arange(h)),
+                      -1).reshape(-1, 2).astype(np.float32)[:n]
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 20.0
+        K[0, 2], K[1, 2] = w / 2, h / 2
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -1.5  # camera at z=-1.5 looking +z
+        return {
+            "uv": jnp.asarray(uv)[None],
+            "intrinsics": jnp.asarray(K)[None],
+            "pose": jnp.asarray(pose)[None],
+        }
+
+    def test_forward_shapes_and_finiteness(self, sphere_scene):
+        scene, params = sphere_scene
+        cfg = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5))
+        out = render_rays(params, scene, self._inputs(), jax.random.PRNGKey(0),
+                          cfg, train=True, iters=1)
+        n = 32
+        assert out["rgb_values"].shape == (n, 3)
+        assert out["weights"].shape == (n, cfg.max_shading_pts)
+        assert out["grad_theta"].shape == (n, cfg.max_shading_pts, 3)
+        for k, v in out.items():
+            assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
+        assert np.asarray(out["ray_mask"]).any(), "no ray hit the sphere"
+
+    def test_eval_mode_normals(self, sphere_scene):
+        scene, params = sphere_scene
+        cfg = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5))
+        out = render_rays(params, scene, self._inputs(), jax.random.PRNGKey(0),
+                          cfg, train=False, iters=2)
+        assert "normal_map" in out
+        assert np.all(np.isfinite(np.asarray(out["normal_map"])))
+
+    def test_gradients_flow(self, sphere_scene):
+        scene, params = sphere_scene
+        cfg = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5))
+        inputs = self._inputs()
+        gt = jnp.ones((32, 3)) * 0.5
+
+        def loss_fn(tp):
+            p = {"frozen": params["frozen"], "train": tp}
+            out = render_rays(p, scene, inputs, jax.random.PRNGKey(0), cfg,
+                              train=True, iters=1)
+            from spurfies_tpu.model.losses import eikonal_loss
+            return (
+                jnp.mean(jnp.abs(out["rgb_values"] - gt))
+                + 0.001 * eikonal_loss(out["grad_theta"], out["valid_pt"])
+            )
+
+        grads = jax.grad(loss_fn)(params["train"])
+        flat, _ = jax.tree_util.tree_flatten(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        # latents must receive gradient signal
+        assert np.abs(np.asarray(grads["feats_color"])).max() > 0
+        assert np.abs(np.asarray(grads["feats_geometry"])).max() > 0
+
+    def test_tv_loss(self, sphere_scene):
+        scene, params = sphere_scene
+        val = tv_loss(params, scene)
+        assert np.isfinite(np.asarray(val))
+        assert np.asarray(val) >= 0
+        # identical latents -> zero TV
+        p2 = {
+            "train": {
+                **params["train"],
+                "feats_geometry": jnp.ones_like(
+                    params["train"]["feats_geometry"]
+                ),
+            }
+        }
+        np.testing.assert_allclose(np.asarray(tv_loss(p2, scene)), 0.0,
+                                   atol=1e-6)

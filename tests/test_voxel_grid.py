@@ -90,8 +90,12 @@ class TestQueryParity:
         _, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
                            k=8, r=4.0)
         gd = np.asarray(gd)
-        gd_f = np.where(np.isfinite(gd), gd, np.inf)
-        assert np.all(np.diff(gd_f, axis=-1) >= -1e-9)
+        # valid (finite) distances are a prefix; within it, non-decreasing
+        d = np.diff(gd, axis=-1)
+        finite_pair = np.isfinite(gd[:, 1:])
+        assert np.all(d[finite_pair] >= -1e-9)
+        # and no finite after an inf (prefix property)
+        assert not np.any(np.isfinite(gd[:, 1:]) & ~np.isfinite(gd[:, :-1]))
 
 
 class TestCompactRays:
