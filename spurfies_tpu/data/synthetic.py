@@ -1,0 +1,93 @@
+"""Synthetic sphere scene: the end-to-end oracle (SURVEY §4 test strategy).
+
+A colored sphere with analytically rendered ground-truth views — used by the
+e2e optimization smoke test, the benchmark harness, and the driver entry
+point.  Plays the role of the reference's 'duck' own-data scene without
+shipping data.
+"""
+
+import numpy as np
+
+
+def look_at(eye, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
+    """c2w pose with camera -z... following the reference convention the
+    camera looks along +z in camera frame (lift produces z=+1)."""
+    eye = np.asarray(eye, dtype=np.float64)
+    fwd = np.asarray(target, dtype=np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, dtype=np.float64))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = eye
+    return pose
+
+
+def _sphere_color(normal):
+    return 0.5 + 0.5 * normal  # in [0,1]
+
+
+def make_synthetic_scene(n_points=4000, n_views=3, img_res=(64, 64),
+                         radius=0.5, cam_dist=1.5, focal=None, seed=0):
+    """Build (point_cloud, colors_uint8, views dict) for a colored sphere.
+
+    views: rgb [V, HW, 3], mask [V, HW, 1], uv [HW, 2],
+           pose [V, 4, 4], intrinsics [V, 4, 4]  (numpy float32).
+    """
+    rng = np.random.default_rng(seed)
+    h, w = img_res
+    focal = focal or 1.2 * w
+
+    v = rng.normal(size=(n_points, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = (radius * v).astype(np.float32)
+    cols = (_sphere_color(v) * 255.0).astype(np.float32)
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = focal
+    K[0, 2], K[1, 2] = w / 2.0, h / 2.0
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    uv = np.stack([xx, yy], axis=-1).reshape(-1, 2).astype(np.float32)
+
+    rgbs, masks, poses = [], [], []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / max(n_views, 1) + 0.3
+        eye = cam_dist * np.array(
+            [np.cos(ang), 0.35, np.sin(ang)]
+        )
+        pose = look_at(eye)
+        poses.append(pose)
+
+        # analytic ray-sphere ground truth
+        x_l = (uv[:, 0] - K[0, 2]) / K[0, 0]
+        y_l = (uv[:, 1] - K[1, 2]) / K[1, 1]
+        dirs_cam = np.stack([x_l, y_l, np.ones_like(x_l)], -1)
+        dirs = dirs_cam @ pose[:3, :3].T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        oc = pose[:3, 3]
+        b = np.sum(dirs * oc, -1)
+        c = np.sum(oc * oc) - radius ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit &= t > 0
+        p_hit = oc + t[:, None] * dirs
+        normal = p_hit / np.maximum(
+            np.linalg.norm(p_hit, axis=-1, keepdims=True), 1e-9
+        )
+        rgb = np.where(hit[:, None], _sphere_color(normal), 0.0)
+        rgbs.append(rgb.astype(np.float32))
+        masks.append(hit[:, None].astype(np.float32))
+
+    views = {
+        "rgb": np.stack(rgbs),
+        "mask": np.stack(masks),
+        "uv": uv,
+        "pose": np.stack(poses),
+        "intrinsics": np.stack([K] * n_views),
+    }
+    return pts, cols, views

