@@ -1,0 +1,61 @@
+"""Benchmark harness: rays/sec/chip during per-scene optimization.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); the baseline
+constant below is the estimated PyTorch+CUDA reference rate: 100k steps x
+1024 rays in ~7h single-GPU => ~4.0e3 rays/sec (see BASELINE.md "Training
+budget" row — re-derive when reference hardware timings are available).
+
+Production-shaped workload: 1024 rays/step, error-bound sampler fast=1
+(training setting, train.py:345), 128-sample probe, k=8 neighbors,
+max_shading_pts=80 — the exact hot loop of SURVEY §3.1.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 4.0e3
+
+
+def main():
+    from spurfies_tpu.config import Config, ModelConfig, TrainConfig
+    from spurfies_tpu.data.synthetic import make_synthetic_scene
+    from spurfies_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(),          # reference production knobs
+        train=TrainConfig(num_pixels=1024, fast_iters=1),
+    )
+    # DTU-scale point cloud (~vox_res=300 downsample of a DUSt3R cloud
+    # typically lands at 5-15k neural points)
+    pts, cols, views = make_synthetic_scene(
+        n_points=40000, n_views=3, img_res=(192, 256)
+    )
+    trainer = Trainer(cfg, pts, cols, views)
+
+    window = 50
+    # warmup + compile
+    trainer.run(window, window=window)
+    jax.block_until_ready(trainer.state.params)
+
+    n_steps = 200
+    t0 = time.perf_counter()
+    trainer.run(n_steps, window=window)
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_steps * cfg.train.num_pixels / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from spurfies_tpu.parallel.mesh import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_views,
+)
