@@ -78,15 +78,15 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
     return jnp.where(has, agg, SDF_FILLER), has
 
 
-def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf, chunk=16384):
+def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf):
     """SDF at arbitrary world points (filler 1000 in empty space).
 
     One function replacing the reference's get_sdf_eval (:249-298),
     sdf_importance (:348-421), pseudo_sdf (:423-495) and sdf_reg (:518-583),
-    which are the same computation copy-pasted four times.
+    which are the same computation copy-pasted four times.  ``r`` must match
+    the radius the scene's QueryTable was built with.
     """
-    idx, _ = query_grid(x, scene.points, scene.table, scene.spec,
-                        k=k, r=r, chunk=chunk)
+    idx, _ = query_grid(x, scene.table, scene.spec, k=k)
     valid = idx >= 0
     sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx, valid,
                            x, rbf)

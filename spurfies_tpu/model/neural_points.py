@@ -20,7 +20,12 @@ import numpy as np
 
 from spurfies_tpu.config import ModelConfig
 from spurfies_tpu.ops.downsample import voxel_downsample
-from spurfies_tpu.ops.voxel_grid import VoxelGridSpec, build_grid, query_grid
+from spurfies_tpu.ops.voxel_grid import (
+    QueryTable,
+    VoxelGridSpec,
+    build_query_table,
+    query_grid,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -28,7 +33,7 @@ from spurfies_tpu.ops.voxel_grid import VoxelGridSpec, build_grid, query_grid
 class SceneState:
     """Non-trainable per-scene arrays (a pytree; spec is static aux data)."""
     points: jnp.ndarray          # [N, 3]
-    table: jnp.ndarray           # [num_cells, cap] voxel table over points
+    table: QueryTable            # precomputed per-cell candidate lists
     tv_idx: jnp.ndarray          # [N, k] TV-graph neighbor indices
     tv_valid: jnp.ndarray        # [N, k] bool
     spec: VoxelGridSpec = None
@@ -75,12 +80,11 @@ def build_scene(key, raw_points: np.ndarray, cfg: ModelConfig,
         max_pts_per_cell=cfg.max_pts_per_voxel,
     )
     points = jnp.asarray(pts, dtype=jnp.float32)
-    table = build_grid(points, spec)
+    table = build_query_table(points, spec, r=cfg.r)
 
     # TV graph: kNN of each neural point among neural points, self-edges
     # removed when other neighbors exist (reference utils.tv_regul :221-258).
-    tv_idx, tv_d2 = query_grid(points, points, table, spec,
-                               k=cfg.k, r=cfg.r)
+    tv_idx, tv_d2 = query_grid(points, table, spec, k=cfg.k)
     own = jnp.arange(n, dtype=jnp.int32)[:, None]
     is_self = tv_idx == own
     valid = tv_idx >= 0

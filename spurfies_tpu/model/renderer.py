@@ -82,8 +82,7 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
 
     # neighbor query over all samples, then first-S compaction per ray
     flat_pts = points.reshape(-1, 3)
-    idx_all, _ = query_grid(flat_pts, scene.points, scene.table, scene.spec,
-                            k=K, r=cfg.r)
+    idx_all, _ = query_grid(flat_pts, scene.table, scene.spec, k=K)
     idx_all = idx_all.reshape(n_rays, -1, K)
     has_any = jnp.any(idx_all >= 0, axis=-1)           # [R, Z]
 

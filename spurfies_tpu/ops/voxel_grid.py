@@ -12,17 +12,28 @@ and wrapper ``spurfies/model/utils.py:90-138``).  Its semantics:
     ``kernel_size`` (3x3x3) cell neighborhood, and compacts each ray to its
     first ``max_shading_pts`` samples that have >= 1 neighbor.
 
-TPU redesign (NOT a translation):
-  * ragged compaction -> dense static shapes ``[M, K]`` with ``-1`` sentinels
-    and boolean masks; per-ray compaction is a separate pure op
-    (:func:`compact_rays`) built on a mask-sort.
-  * the voxel table is a dense ``[num_cells, cap]`` int32 array built with one
-    XLA scatter (points sorted by cell id to compute within-cell slots);
-    bounded scene ranges (±1 / ±2) make the dense table small (27³..54³ cells).
-  * query = one gather of the 27-cell candidate lists + a distance top-k;
-    everything is jit/vmap/grad-safe.  We return the *k nearest* within the
-    radius (the CUDA kernel returns an arbitrary k within radius — SURVEY §7
-    "exact neighbor sets need not match; radius/k semantics must").
+TPU redesign (NOT a translation) — three load-bearing decisions:
+
+  1. **Precomputed neighborhood lists.**  Neural points NEVER move during
+     optimization (the reference still re-runs ``set_pointset`` every forward,
+     pointneus_disent.py:627-635).  We build, once per scene, a per-cell
+     candidate list = all points within ``radius`` of the cell's box (exact
+     point-to-box pruning), capped at ``qcap``.  A query is then one row
+     gather + a distance top-k over <= qcap candidates — no 27-cell walk in
+     the hot loop.
+
+  2. **Lane-aligned layout.**  Candidate positions are stored ``[C, 3, qcap]``
+     (qcap a multiple of 128) so the per-query distance computation lands on
+     aligned (sublane, lane) tiles; an AoS ``[.., qcap, 3]`` layout pads 3 ->
+     128 lanes and moves 40x the bytes.
+
+  3. **Dense masks, not ragged compaction** — ``-1`` sentinels + boolean
+     masks; per-ray ``max_shading_pts`` compaction is a separate pure op
+     (:func:`compact_rays`) built on a mask-sort.
+
+We return the *k nearest* within the radius (the CUDA kernel returns an
+arbitrary k within radius — SURVEY §7: "exact neighbor sets need not match;
+radius/k semantics must").
 """
 
 from dataclasses import dataclass
@@ -38,14 +49,15 @@ class VoxelGridSpec:
     """Static grid geometry (hashable; safe as a jit static arg).
 
     Mirrors the reference ctor (pointneus_disent.py:46-62):
-      voxel_size * voxel_scale = cell edge; ranges = scene bounds.
+    voxel_size * voxel_scale = cell edge; ranges = scene bounds.
     """
     voxel_size: float = 0.025
     voxel_scale: float = 3.0
     lo: tuple = (-1.0, -1.0, -1.0)
     hi: tuple = (1.0, 1.0, 1.0)
     max_pts_per_cell: int = 26
-    kernel: int = 3  # 3x3x3 cell search window
+    kernel: int = 3        # cell search window (3x3x3)
+    qcap: int = 128        # per-cell neighborhood candidate cap (lane-sized)
 
     @property
     def cell_size(self) -> float:
@@ -68,6 +80,23 @@ class VoxelGridSpec:
         return r * self.voxel_size
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QueryTable:
+    """Per-cell candidate lists: idx ``[C, qcap]`` (-1 empty), pos
+    ``[C, 3, qcap]`` (inf where empty), built for a fixed query radius."""
+    idx: jnp.ndarray
+    pos: jnp.ndarray
+    r: float = 2.0
+
+    def tree_flatten(self):
+        return (self.idx, self.pos), self.r
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
 def _cell_ids(points: jnp.ndarray, spec: VoxelGridSpec) -> jnp.ndarray:
     """Linear cell id per point; out-of-range -> num_cells (sentinel)."""
     lo = jnp.asarray(spec.lo, dtype=points.dtype)
@@ -81,23 +110,17 @@ def _cell_ids(points: jnp.ndarray, spec: VoxelGridSpec) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("spec",))
 def build_grid(points: jnp.ndarray, spec: VoxelGridSpec) -> jnp.ndarray:
-    """Build the cell table.
+    """Build the per-cell point table (cap = max_pts_per_cell).
 
-    Args:
-      points: ``[N, 3]`` float32.
-      spec: static grid geometry.
-
-    Returns:
-      table ``[num_cells, cap]`` int32 point indices, ``-1`` for empty slots.
-      Points beyond ``cap`` per cell are dropped (same cap semantics as the
-      CUDA kernel's max_pts_per_voxel).
+    Returns ``[num_cells, cap]`` int32 point indices, ``-1`` empty.  Points
+    beyond ``cap`` per cell are dropped (CUDA max_pts_per_voxel semantics).
     """
     n = points.shape[0]
     cap = spec.max_pts_per_cell
     cid = _cell_ids(points, spec)  # [N]
 
-    # Within-cell slot via sort: for sorted cell ids, the slot of element j is
-    # j - first_index_of(cid_sorted[j]).
+    # Within-cell slot via sort: for sorted cell ids, the slot of element j
+    # is j - first_index_of(cid_sorted[j]).
     order = jnp.argsort(cid)
     cid_sorted = cid[order]
     first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
@@ -121,62 +144,107 @@ def _kernel_offsets(spec: VoxelGridSpec, radius: float) -> np.ndarray:
                     axis=-1).reshape(-1, 3).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("spec", "k", "r", "chunk"))
-def query_grid(x: jnp.ndarray, points: jnp.ndarray, table: jnp.ndarray,
-               spec: VoxelGridSpec, k: int = 8, r: float = 2.0,
-               chunk: int = 16384):
-    """k-nearest neighbors within radius ``r * voxel_size``.
+@partial(jax.jit, static_argnames=("spec", "r"))
+def build_query_table(points: jnp.ndarray, spec: VoxelGridSpec,
+                      r: float = 2.0) -> QueryTable:
+    """Precompute per-cell candidate lists for radius ``r * voxel_size``.
+
+    For each cell: gather its kernel-window neighbor cells' points, keep
+    those whose exact distance to the cell BOX is <= radius (so no query in
+    the cell can have a neighbor outside the list), first ``qcap`` kept.
+    One-time cost per scene; replaces the per-forward ``set_pointset``.
+    """
+    radius = spec.radius(r)
+    offsets = jnp.asarray(_kernel_offsets(spec, radius))     # [W, 3]
+    dims = jnp.asarray(spec.dims, dtype=jnp.int32)
+    lo = jnp.asarray(spec.lo, dtype=points.dtype)
+    cap = spec.max_pts_per_cell
+    C = spec.num_cells
+    qcap = spec.qcap
+
+    table = build_grid(points, spec)                          # [C, cap]
+
+    # cell ijk for every cell id
+    cell_lin = jnp.arange(C, dtype=jnp.int32)
+    iz = cell_lin % dims[2]
+    iy = (cell_lin // dims[2]) % dims[1]
+    ix = cell_lin // (dims[2] * dims[1])
+    ijk = jnp.stack([ix, iy, iz], -1)                         # [C, 3]
+
+    nb = ijk[:, None, :] + offsets[None]                      # [C, W, 3]
+    nb_in = jnp.all((nb >= 0) & (nb < dims), axis=-1)
+    nbc = jnp.clip(nb, 0, dims - 1)
+    nb_lin = (nbc[..., 0] * dims[1] + nbc[..., 1]) * dims[2] + nbc[..., 2]
+
+    cand = table[jnp.where(nb_in, nb_lin, 0)].reshape(C, -1)  # [C, W*cap]
+    cand = jnp.where(jnp.repeat(nb_in, cap, axis=-1), cand, -1)
+
+    # exact point-to-cell-box distance, per coordinate (SoA to stay aligned)
+    box_lo = lo + ijk.astype(points.dtype) * spec.cell_size   # [C, 3]
+    box_hi = box_lo + spec.cell_size
+    safe = jnp.maximum(cand, 0)
+    d2 = jnp.zeros(cand.shape, dtype=points.dtype)
+    for d in range(3):
+        pc = points[:, d][safe]                               # [C, W*cap]
+        excess = jnp.maximum(box_lo[:, d:d + 1] - pc, 0.0) + jnp.maximum(
+            pc - box_hi[:, d:d + 1], 0.0
+        )
+        d2 = d2 + excess * excess
+    keep = (cand >= 0) & (d2 <= radius * radius)
+
+    # first qcap kept per cell (mask-sort)
+    width = cand.shape[-1]
+    pos_key = jnp.where(
+        keep,
+        jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32), cand.shape),
+        width,
+    )
+    order = jnp.argsort(pos_key, axis=-1)[:, :qcap]
+    qidx = jnp.take_along_axis(cand, order, axis=-1)
+    qkeep = jnp.take_along_axis(keep, order, axis=-1)
+    qidx = jnp.where(qkeep, qidx, -1)                         # [C, qcap]
+
+    safe_q = jnp.maximum(qidx, 0)
+    qpos = jnp.stack(
+        [
+            jnp.where(qkeep, points[:, d][safe_q], jnp.inf)
+            for d in range(3)
+        ],
+        axis=1,
+    )                                                          # [C, 3, qcap]
+    return QueryTable(idx=qidx, pos=qpos, r=r)
+
+
+@partial(jax.jit, static_argnames=("spec", "k"))
+def query_grid(x: jnp.ndarray, qt: QueryTable, spec: VoxelGridSpec,
+               k: int = 8):
+    """k nearest neighbors within the table's radius.
 
     Args:
-      x: ``[M, 3]`` query positions (any M; processed in ``chunk``-row tiles
-         to bound the transient ``[chunk, 27*cap]`` candidate buffers).
-      points: ``[N, 3]`` the point set the table was built from.
-      table: ``[num_cells, cap]`` from :func:`build_grid`.
-      k: neighbors per query.
-      r: radius in voxel_size multiples (reference passes r=2 -> 0.05).
+      x: ``[M, 3]`` query positions.
+      qt: QueryTable from :func:`build_query_table`.
 
     Returns:
-      (idx ``[M, k]`` int32 with ``-1`` for missing,
-       d2 ``[M, k]`` float32 squared distances, inf where invalid).
+      (idx ``[M, k]`` int32, ``-1`` missing; d2 ``[M, k]``, inf invalid),
+      nearest-first.
     """
-    m = x.shape[0]
-    radius2 = spec.radius(r) ** 2
-    offsets = jnp.asarray(_kernel_offsets(spec, spec.radius(r)))  # [27, 3]
-    dims = jnp.asarray(spec.dims, dtype=jnp.int32)
-    lo = jnp.asarray(spec.lo, dtype=x.dtype)
-    cap = spec.max_pts_per_cell
+    radius2 = spec.radius(qt.r) ** 2
+    cid = _cell_ids(x, spec)                                   # [M]
+    in_grid = cid < spec.num_cells
+    cid = jnp.where(in_grid, cid, 0)
 
-    pad = (-m) % chunk
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    cand = qt.idx[cid]                                         # [M, qcap]
+    cpos = qt.pos[cid]                                         # [M, 3, qcap]
+    diff = x[:, :, None] - cpos                                # aligned tiles
+    d2 = jnp.sum(diff * diff, axis=1)                          # [M, qcap]
+    ok = (cand >= 0) & (d2 <= radius2) & in_grid[:, None]
+    d2 = jnp.where(ok, d2, jnp.inf)
 
-    def one_chunk(xc):
-        ijk = jnp.floor((xc - lo) / spec.cell_size).astype(jnp.int32)
-        cand_ijk = ijk[:, None, :] + offsets[None, :, :]  # [T, 27, 3]
-        cin = jnp.all((cand_ijk >= 0) & (cand_ijk < dims), axis=-1)
-        cc = jnp.clip(cand_ijk, 0, dims - 1)
-        lin = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2] + cc[..., 2]
-        lin = jnp.where(cin, lin, 0)
-
-        cand = table[lin].reshape(xc.shape[0], -1)  # [T, 27*cap]
-        cand = jnp.where(
-            jnp.repeat(cin, cap, axis=-1), cand, -1
-        )
-        cpos = points[jnp.maximum(cand, 0)]  # [T, C, 3]
-        d2 = jnp.sum((xc[:, None, :] - cpos) ** 2, axis=-1)
-        ok = (cand >= 0) & (d2 <= radius2)
-        d2 = jnp.where(ok, d2, jnp.inf)
-
-        neg, top_i = jax.lax.top_k(-d2, k)  # nearest first
-        top_d2 = -neg
-        top_idx = jnp.take_along_axis(cand, top_i, axis=-1)
-        top_idx = jnp.where(jnp.isfinite(top_d2), top_idx, -1)
-        return top_idx.astype(jnp.int32), top_d2
-
-    xs = xp.reshape(-1, chunk, 3)
-    idx, d2 = jax.lax.map(one_chunk, xs)
-    idx = idx.reshape(-1, k)[:m]
-    d2 = d2.reshape(-1, k)[:m]
-    return idx, d2
+    neg, top_i = jax.lax.top_k(-d2, k)
+    top_d2 = -neg
+    top_idx = jnp.take_along_axis(cand, top_i, axis=-1)
+    top_idx = jnp.where(jnp.isfinite(top_d2), top_idx, -1)
+    return top_idx.astype(jnp.int32), top_d2
 
 
 @partial(jax.jit, static_argnames=("max_keep",))

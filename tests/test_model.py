@@ -120,8 +120,7 @@ class TestField:
         geo = params["train"]["feats_geometry"]
         x = scene.points[:4] + 0.012
         from spurfies_tpu.ops.voxel_grid import query_grid
-        idx, _ = query_grid(x, scene.points, scene.table, scene.spec,
-                            k=CFG.k, r=CFG.r)
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
         valid = idx >= 0
         sdf, grad = field.sdf_and_grad(frozen, geo, scene.points, idx, valid,
                                        x, CFG.rbf)
@@ -140,8 +139,7 @@ class TestField:
         scene, params = sphere_scene
         x = scene.points[:8] + 0.005
         from spurfies_tpu.ops.voxel_grid import query_grid
-        idx, _ = query_grid(x, scene.points, scene.table, scene.spec,
-                            k=CFG.k, r=CFG.r)
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
         dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
         rgb = field.aggregate_color(
             params["train"], params["train"]["feats_color"], scene.points,

@@ -7,6 +7,7 @@ import pytest
 from spurfies_tpu.ops import (
     VoxelGridSpec,
     build_grid,
+    build_query_table,
     compact_rays,
     knn_brute,
     query_grid,
@@ -47,14 +48,38 @@ class TestBuildGrid:
         assert kept.tolist() == [1]
 
 
+class TestQueryTable:
+    def test_candidates_cover_radius(self, rng):
+        """Every point within radius of a cell box appears in its list."""
+        pts = _random_cloud(rng, 1500, scale=0.4)
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=2.0)
+        idx = np.asarray(qt.idx)
+        radius = SPEC.radius(2.0)
+        dims = SPEC.dims
+        lo = np.asarray(SPEC.lo)
+        # check 50 random occupied cells
+        occupied = np.nonzero((idx >= 0).any(-1))[0]
+        for c in occupied[:: max(1, len(occupied) // 50)]:
+            izc = c % dims[2]
+            iyc = (c // dims[2]) % dims[1]
+            ixc = c // (dims[2] * dims[1])
+            blo = lo + np.array([ixc, iyc, izc]) * SPEC.cell_size
+            bhi = blo + SPEC.cell_size
+            d = np.maximum(blo - pts, 0) + np.maximum(pts - bhi, 0)
+            near = np.nonzero((d ** 2).sum(-1) <= radius ** 2)[0]
+            listed = set(idx[c][idx[c] >= 0].tolist())
+            missing = set(near.tolist()) - listed
+            # only allowed to miss when the cap overflowed
+            assert not missing or (idx[c] >= 0).all()
+
+
 class TestQueryParity:
     @pytest.mark.parametrize("r", [2.0, 4.0])
     def test_matches_bruteforce(self, rng, r):
         pts = _random_cloud(rng, 3000)
         x = rng.uniform(-0.9, 0.9, size=(512, 3)).astype(np.float32)
-        table = build_grid(jnp.asarray(pts), SPEC)
-        gi, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
-                            k=8, r=r, chunk=256)
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=r)
+        gi, gd = query_grid(jnp.asarray(x), qt, SPEC, k=8)
         bi, bd = knn_brute(jnp.asarray(x), jnp.asarray(pts), k=8,
                            radius=SPEC.radius(r))
         gi, gd, bi, bd = map(np.asarray, (gi, gd, bi, bd))
@@ -70,25 +95,30 @@ class TestQueryParity:
     def test_radius_respected(self, rng):
         pts = _random_cloud(rng, 3000)
         x = rng.uniform(-0.9, 0.9, size=(256, 3)).astype(np.float32)
-        table = build_grid(jnp.asarray(pts), SPEC)
-        gi, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
-                            k=8, r=2.0)
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=2.0)
+        gi, gd = query_grid(jnp.asarray(x), qt, SPEC, k=8)
         gd = np.asarray(gd)
         assert np.all(gd[np.isfinite(gd)] <= SPEC.radius(2.0) ** 2 + 1e-9)
 
     def test_isolated_query_no_neighbors(self, rng):
         pts = jnp.asarray(np.zeros((10, 3), dtype=np.float32))
         x = jnp.asarray(np.full((4, 3), 0.9, dtype=np.float32))
-        table = build_grid(pts, SPEC)
-        gi, gd = query_grid(x, pts, table, SPEC, k=8, r=2.0)
+        qt = build_query_table(pts, SPEC, r=2.0)
+        gi, gd = query_grid(x, qt, SPEC, k=8)
+        assert np.all(np.asarray(gi) == -1)
+
+    def test_out_of_grid_query(self, rng):
+        pts = _random_cloud(rng, 100, scale=0.3)
+        x = jnp.asarray(np.array([[3.0, 3.0, 3.0]], dtype=np.float32))
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=2.0)
+        gi, _ = query_grid(x, qt, SPEC, k=8)
         assert np.all(np.asarray(gi) == -1)
 
     def test_nearest_first_ordering(self, rng):
         pts = _random_cloud(rng, 2000)
         x = rng.uniform(-0.5, 0.5, size=(128, 3)).astype(np.float32)
-        table = build_grid(jnp.asarray(pts), SPEC)
-        _, gd = query_grid(jnp.asarray(x), jnp.asarray(pts), table, SPEC,
-                           k=8, r=4.0)
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=4.0)
+        _, gd = query_grid(jnp.asarray(x), qt, SPEC, k=8)
         gd = np.asarray(gd)
         # valid (finite) distances are a prefix; within it, non-decreasing
         d = np.diff(gd, axis=-1)
