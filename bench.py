@@ -30,15 +30,15 @@ def main():
         model=ModelConfig(),          # reference production knobs
         train=TrainConfig(num_pixels=1024, fast_iters=1),
     )
-    # DTU-scale point cloud (~vox_res=300 downsample of a DUSt3R cloud
-    # typically lands at 5-15k neural points)
+    # DTU-scale point cloud: DUSt3R FPS-subsamples to ~0.025 spacing
+    # (dust3r_inference.py:69-105) -> ~8k neural points on an object scene
     pts, cols, views = make_synthetic_scene(
-        n_points=40000, n_views=3, img_res=(192, 256)
+        n_points=8000, n_views=3, img_res=(192, 256)
     )
     trainer = Trainer(cfg, pts, cols, views)
 
     window = 50
-    # warmup + compile
+    # warmup + compile (same window size as the timed run: one compile)
     trainer.run(window, window=window)
     jax.block_until_ready(trainer.state.params)
 

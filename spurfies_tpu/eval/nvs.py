@@ -1,0 +1,108 @@
+"""Novel-view-synthesis evaluation: render eval views, score PSNR/SSIM/LPIPS.
+
+Behavioral spec from reference ``eval_spurfies.py:196-374``: per eval view,
+render in chunks, save eval/normal/depth PNGs, then masked PSNR, SSIM on
+foreground-composited images, LPIPS-VGG; per-scan and global means.
+LPIPS runs only when a converted VGG/LPIPS checkpoint is available
+(spurfies_tpu.eval.lpips_jax); zero-egress environments skip it.
+"""
+
+import os
+
+import numpy as np
+
+from spurfies_tpu.core.metrics import psnr as psnr_fn
+from spurfies_tpu.eval.ssim import ssim as ssim_fn
+
+
+def composite_foreground(img: np.ndarray, mask: np.ndarray,
+                         bg: float = 0.0) -> np.ndarray:
+    """Foreground-composite like the reference masks both pred and gt
+    (eval_spurfies.py:243-256)."""
+    return np.where(mask > 0.5, img, bg)
+
+
+def evaluate_views(render_image, params, scene_data, out_dir=None,
+                   lpips_fn=None, save_images=True):
+    """Render + score every eval view.
+
+    Args:
+      render_image: fn(params, uv, pose, intrinsics, key) -> dict with
+        rgb_values/normal_map/depth_values (from train.trainer.make_render_fn).
+      scene_data: data.scene_data.SceneData (eval views used).
+      lpips_fn: optional callable(img1 [H,W,3], img2) -> float.
+
+    Returns:
+      dict with per-view and mean psnr/ssim (+lpips when available).
+    """
+    import jax
+
+    h, w = scene_data.img_res
+    uv = scene_data.uv
+    vs = scene_data.eval or scene_data.train
+    results = {"psnr": [], "ssim": [], "lpips": [], "ids": list(vs.ids)}
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    for i in range(len(vs.ids)):
+        out = render_image(
+            params, uv, vs.pose[i], vs.intrinsics[i],
+            jax.random.PRNGKey(0),
+        )
+        pred = np.asarray(out["rgb_values"]).reshape(h, w, 3)
+        gt = np.asarray(vs.rgb[i]).reshape(h, w, 3)
+        mask = np.asarray(vs.mask[i]).reshape(h, w, 3)
+
+        mask_bin = mask[..., :1] > 0.5
+        se = ((pred - gt) ** 2)[np.repeat(mask_bin, 3, -1)]
+        psnr = float(-10.0 * np.log10(se.mean() + 1e-12))
+
+        pred_fg = composite_foreground(pred, mask)
+        gt_fg = composite_foreground(gt, mask)
+        s = ssim_fn(pred_fg, gt_fg, data_range=1.0)
+
+        results["psnr"].append(psnr)
+        results["ssim"].append(s)
+        if lpips_fn is not None:
+            results["lpips"].append(float(lpips_fn(pred_fg, gt_fg)))
+
+        if out_dir and save_images:
+            import imageio.v2 as imageio
+            vid = vs.ids[i]
+            imageio.imwrite(
+                os.path.join(out_dir, f"eval_{vid:03d}.png")
+                if isinstance(vid, int)
+                else os.path.join(out_dir, f"eval_{vid}.png"),
+                (np.clip(pred, 0, 1) * 255).astype(np.uint8),
+            )
+            if "normal_map" in out:
+                nm = np.asarray(out["normal_map"]).reshape(h, w, 3)
+                nm = (nm + 1.0) / 2.0
+                imageio.imwrite(
+                    os.path.join(out_dir, f"normal_{i:03d}.png"),
+                    (np.clip(nm, 0, 1) * 255).astype(np.uint8),
+                )
+            if "depth_values" in out:
+                dep = np.asarray(out["depth_values"]).reshape(h, w)
+                dep = visualize_depth(dep)
+                imageio.imwrite(
+                    os.path.join(out_dir, f"dep_{i:03d}.png"), dep
+                )
+
+    results["mean_psnr"] = float(np.mean(results["psnr"]))
+    results["mean_ssim"] = float(np.mean(results["ssim"]))
+    if results["lpips"]:
+        results["mean_lpips"] = float(np.mean(results["lpips"]))
+    return results
+
+
+def visualize_depth(depth: np.ndarray, pmin: float = 1.0,
+                    pmax: float = 99.0) -> np.ndarray:
+    """Percentile-normalized turbo-style colormap for depth PNGs
+    (reference plots.visualize_depth/visualize_cmap, plots.py:392-468)."""
+    import matplotlib.cm as cm
+    lo, hi = np.percentile(depth, [pmin, pmax])
+    norm = np.clip((depth - lo) / max(hi - lo, 1e-9), 0, 1)
+    rgba = cm.get_cmap("turbo")(1.0 - norm)
+    return (rgba[..., :3] * 255).astype(np.uint8)

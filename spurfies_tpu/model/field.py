@@ -78,19 +78,42 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
     return jnp.where(has, agg, SDF_FILLER), has
 
 
-def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf):
+def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
+              budget_frac: float | None = 0.25):
     """SDF at arbitrary world points (filler 1000 in empty space).
 
     One function replacing the reference's get_sdf_eval (:249-298),
     sdf_importance (:348-421), pseudo_sdf (:423-495) and sdf_reg (:518-583),
     which are the same computation copy-pasted four times.  ``r`` must match
     the radius the scene's QueryTable was built with.
+
+    budget_frac: most probe points lie in empty space (no neighbors); with a
+    budget, only the first ``budget_frac * M`` with-neighbor points (static
+    shape) run the pair MLP — a sorted gather/scatter replaces the
+    reference's ragged CUDA compaction.  None disables (all M run, masked).
     """
+    m = x.shape[0]
     idx, _ = query_grid(x, scene.table, scene.spec, k=k)
     valid = idx >= 0
-    sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx, valid,
-                           x, rbf)
-    return sdf
+
+    if budget_frac is None or m < 1024:
+        sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx,
+                               valid, x, rbf)
+        return sdf
+
+    budget = max(int(m * budget_frac) // 128 * 128, 128)
+    any_valid = jnp.any(valid, axis=-1)
+    key = jnp.where(any_valid, jnp.arange(m, dtype=jnp.int32), m)
+    order = jnp.sort(key)[:budget]          # first `budget` valid positions
+    sel_ok = order < m
+    sel = jnp.minimum(order, m - 1)
+
+    sdf_c, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx[sel],
+                             valid[sel] & sel_ok[:, None], x[sel], rbf)
+    out = jnp.full((m,), SDF_FILLER, dtype=x.dtype)
+    return out.at[jnp.where(sel_ok, sel, m)].set(
+        jnp.where(sel_ok, sdf_c, SDF_FILLER), mode="drop"
+    )
 
 
 def sdf_and_grad(frozen, geo_latents, points, idx, valid, x, rbf):

@@ -1,0 +1,150 @@
+"""Eval-stack tests: marching tetrahedra, SSIM, Chamfer, mesh IO."""
+
+import numpy as np
+import pytest
+
+from spurfies_tpu.eval.chamfer import (
+    chamfer_dtu,
+    radius_downsample,
+    sample_triangles,
+)
+from spurfies_tpu.eval.marching import largest_component, marching_tetrahedra
+from spurfies_tpu.eval.mesh_extract import (
+    extract_mesh,
+    load_mesh_ply,
+    save_mesh_ply,
+)
+from spurfies_tpu.eval.ssim import ssim
+
+
+def _sphere_grid(n=40, r=0.6):
+    g = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - r
+    sp = 2 / (n - 1)
+    return sdf, (sp, sp, sp), (-1.0, -1.0, -1.0)
+
+
+class TestMarching:
+    def test_sphere_accuracy(self):
+        sdf, sp, o = _sphere_grid(48)
+        v, f = marching_tetrahedra(sdf, 0.0, spacing=sp, origin=o)
+        assert len(v) > 1000 and len(f) > 2000
+        r = np.linalg.norm(v, axis=-1)
+        np.testing.assert_allclose(r, 0.6, atol=5e-3)
+        # surface area within 1%
+        e1 = v[f[:, 1]] - v[f[:, 0]]
+        e2 = v[f[:, 2]] - v[f[:, 0]]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
+        np.testing.assert_allclose(area, 4 * np.pi * 0.36, rtol=0.01)
+
+    def test_empty_level(self):
+        sdf = np.ones((8, 8, 8))
+        v, f = marching_tetrahedra(sdf)
+        assert len(v) == 0 and len(f) == 0
+
+    def test_watertight_closed_surface(self):
+        """Closed surface: every edge shared by exactly 2 faces."""
+        sdf, sp, o = _sphere_grid(24)
+        v, f = marching_tetrahedra(sdf, 0.0, spacing=sp, origin=o)
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        key = np.sort(edges, axis=-1)
+        _, counts = np.unique(key, axis=0, return_counts=True)
+        assert np.all(counts == 2)
+
+    def test_largest_component(self):
+        # two spheres, one bigger
+        g = np.linspace(-1, 1, 48)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        s1 = np.sqrt((X + 0.5) ** 2 + Y ** 2 + Z ** 2) - 0.35
+        s2 = np.sqrt((X - 0.6) ** 2 + Y ** 2 + Z ** 2) - 0.15
+        sdf = np.minimum(s1, s2)
+        sp = 2 / 47
+        v, f = marching_tetrahedra(sdf, 0.0, spacing=(sp, sp, sp),
+                                   origin=(-1, -1, -1))
+        v2, f2 = largest_component(v, f)
+        assert len(f2) < len(f)
+        # remaining verts centered on the big sphere
+        c = v2.mean(0)
+        assert abs(c[0] + 0.5) < 0.05
+
+
+class TestMeshExtract:
+    def test_extract_with_probe(self):
+        def sdf_fn(x):
+            return np.linalg.norm(x, axis=-1) - 0.5
+
+        v, f = extract_mesh(sdf_fn, [-1, -1, -1], [1, 1, 1], resolution=32)
+        r = np.linalg.norm(v, axis=-1)
+        np.testing.assert_allclose(r, 0.5, atol=2e-2)
+
+    def test_scale_mat(self):
+        def sdf_fn(x):
+            return np.linalg.norm(x, axis=-1) - 0.5
+
+        S = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+        S[:3, 3] = [1, 0, 0]
+        v, f = extract_mesh(sdf_fn, [-1, -1, -1], [1, 1, 1], resolution=24,
+                            scale_mat=S)
+        r = np.linalg.norm(v - np.array([1, 0, 0]), axis=-1)
+        np.testing.assert_allclose(r, 1.0, atol=5e-2)
+
+    def test_mesh_ply_roundtrip(self, tmp_path):
+        v = np.random.default_rng(0).uniform(-1, 1, (20, 3)).astype(
+            np.float32
+        )
+        f = np.asarray([[0, 1, 2], [3, 4, 5]], dtype=np.int64)
+        p = str(tmp_path / "m.ply")
+        save_mesh_ply(p, v, f)
+        v2, f2 = load_mesh_ply(p)
+        np.testing.assert_allclose(v2, v, rtol=1e-6)
+        np.testing.assert_array_equal(f2, f)
+
+
+class TestSSIM:
+    def test_identical(self, rng):
+        img = rng.uniform(0, 1, (64, 64, 3))
+        assert ssim(img, img) == pytest.approx(1.0)
+
+    def test_noise_lowers(self, rng):
+        img = rng.uniform(0, 1, (64, 64))
+        noisy = img + rng.normal(0, 0.2, img.shape)
+        s = ssim(img, np.clip(noisy, 0, 1))
+        assert 0.0 < s < 0.95
+
+    def test_constant_shift(self, rng):
+        img = rng.uniform(0.3, 0.6, (64, 64))
+        s = ssim(img, img + 0.1)
+        assert 0.3 < s < 1.0
+
+
+class TestChamfer:
+    def test_sample_triangles_density(self):
+        v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float64)
+        f = np.asarray([[0, 1, 2]])
+        s = sample_triangles(v, f, density=0.1)
+        assert len(s) > 50
+        # all samples in the triangle plane
+        np.testing.assert_allclose(s[:, 2], 0.0, atol=1e-12)
+
+    def test_radius_downsample(self, rng):
+        pts = rng.uniform(0, 1, (2000, 3))
+        out = radius_downsample(pts, radius=0.2)
+        from sklearn.neighbors import KDTree
+        d = KDTree(out).query(out, k=2)[0][:, 1]
+        assert np.all(d >= 0.2 - 1e-9)
+
+    def test_identical_clouds_zero(self, rng):
+        pts = rng.uniform(0, 10, (500, 3))
+        res = chamfer_dtu(pts, np.zeros((0, 3), dtype=np.int64), pts)
+        assert res["acc"] < 0.35      # bounded by downsample radius
+        assert res["comp"] < 0.35
+        assert res["overall"] == pytest.approx(
+            (res["acc"] + res["comp"]) / 2
+        )
+
+    def test_offset_cloud(self, rng):
+        pts = rng.uniform(0, 10, (800, 3))
+        res = chamfer_dtu(pts + np.array([2.0, 0, 0]),
+                          np.zeros((0, 3), dtype=np.int64), pts)
+        assert res["acc"] > 0.5
