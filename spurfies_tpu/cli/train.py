@@ -61,7 +61,34 @@ def train_scene(cfg: Config, scan: str, resume: bool = False):
     log.info(f"scene {scan}: {len(sd.train.ids)} train views, "
              f"{len(sd.points)} raw points, img_res={sd.img_res}")
 
-    trainer = Trainer(cfg, sd.points, sd.colors, sd.train_views())
+    # MVS feature-consistency bundle (DTU local loss) when the frozen
+    # Vis-MVSNet checkpoint is available (reference dtu.py:228-239)
+    local_bundle = None
+    vismvs_ckpt = os.path.join("ckpt", "vismvsnet.pt")
+    if (cfg.dataset.data_dir == "dtu" and cfg.loss.local_weight > 0
+            and os.path.exists(vismvs_ckpt)):
+        from spurfies_tpu.convert.torch2jax import convert_vismvsnet
+        from spurfies_tpu.data.mvs_local import build_local_bundle
+        fx = convert_vismvsnet(vismvs_ckpt)
+        local_bundle = build_local_bundle(
+            cfg.dataset.data_dir_root, int(scan.replace("scan", "")), fx,
+            sd.scale_mat,
+        )
+        log.info("local (Vis-MVSNet) feature loss enabled")
+
+    trainer = Trainer(cfg, sd.points, sd.colors, sd.train_views(),
+                      local_bundle=local_bundle)
+
+    # frozen local-geometry prior (reference train.py:124-157); without it
+    # the SDF decoder stays randomly initialized (tests / smoke runs only)
+    prior_ckpt = os.path.join("ckpt", "local_prior.pt")
+    if os.path.exists(prior_ckpt):
+        from spurfies_tpu.convert.torch2jax import convert_local_prior
+        trainer.load_frozen(convert_local_prior(prior_ckpt))
+        log.info("loaded frozen local-geometry prior")
+    else:
+        log.warning("ckpt/local_prior.pt not found — frozen SDF decoder is "
+                    "randomly initialized")
 
     exp = None
     if resume:

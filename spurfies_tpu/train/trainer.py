@@ -48,7 +48,7 @@ class TrainState:
 
 
 def make_train_step(cfg: Config, scene, frozen, views, tx,
-                    mesh=None):
+                    mesh=None, local_bundle=None):
     """Build the jitted train step.
 
     Args:
@@ -58,6 +58,8 @@ def make_train_step(cfg: Config, scene, frozen, views, tx,
       tx: optax transform from build_optimizer.
       mesh: optional jax.sharding.Mesh with a 'data' axis — rays are sharded
         across it; jit inserts the gradient psum.
+      local_bundle: optional data.mvs_local.LocalBundle enabling the
+        feature-consistency loss (DTU; reference dtu.py:267-290).
     """
     mcfg = cfg.model
     lcfg = cfg.loss
@@ -66,12 +68,43 @@ def make_train_step(cfg: Config, scene, frozen, views, tx,
     total_px = views["uv"].shape[0]
     fast = cfg.train.fast_iters
 
+    local_ctx = None
+    if local_bundle is not None and lcfg.local_weight > 0:
+        from spurfies_tpu.data.mvs_local import SRC_MAP
+        local_ctx = {
+            "feats": jnp.asarray(local_bundle.feats),
+            "cams": jnp.asarray(local_bundle.cams_hd),
+            "src": jnp.asarray(
+                [SRC_MAP[i] for i in range(n_views)], dtype=jnp.int32
+            ),
+            "size": jnp.asarray(local_bundle.size),
+            "center": jnp.asarray(local_bundle.center),
+        }
+
     def loss_fn(tp, batch, key):
         params = {"frozen": frozen, "train": tp}
         out = render_rays(params, scene, batch["inputs"], key, mcfg,
                           train=True, iters=fast)
         out["tv_loss"] = tv_loss(params, scene)
         out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out, mcfg)
+        if local_ctx is not None:
+            from spurfies_tpu.model.local_loss import (
+                find_surface_depth,
+                local_feature_loss,
+            )
+            d_surf, surf_mask = find_surface_depth(
+                out["sdf"], out["z_sel"], out["valid_pt"]
+            )
+            surface = out["cam_loc"] + out["ray_dirs"] * d_surf[:, None]
+            v = batch["view"]
+            out["local_loss"] = local_feature_loss(
+                surface, surf_mask & out["ray_mask"],
+                local_ctx["feats"][v],
+                local_ctx["feats"][local_ctx["src"][v]],
+                local_ctx["cams"][v],
+                local_ctx["cams"][local_ctx["src"][v]],
+                local_ctx["size"], local_ctx["center"],
+            )
         loss, parts = total_loss(out, batch["gt"], lcfg)
         parts["psnr"] = psnr_fn(
             out["rgb_values"], batch["gt"]["rgb"].reshape(-1, 3)
@@ -91,7 +124,7 @@ def make_train_step(cfg: Config, scene, frozen, views, tx,
             "rgb": views["rgb"][v][pix],
             "mask": views["mask"][v][pix],
         }
-        return {"inputs": inputs, "gt": gt}
+        return {"inputs": inputs, "gt": gt, "view": v}
 
     def train_step(state: TrainState, key):
         batch = sample_batch(jax.random.fold_in(key, 0))
@@ -153,8 +186,11 @@ class Trainer:
     device-side steps, handles eval renders + orbax checkpoints."""
 
     def __init__(self, cfg: Config, point_cloud, colors, views,
-                 seed: int | None = None):
+                 seed: int | None = None, local_bundle=None):
+        from spurfies_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
+        self.local_bundle = local_bundle
         seed = cfg.train.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         k_scene, k_params, self.key = jax.random.split(key, 3)
@@ -171,7 +207,8 @@ class Trainer:
         self.state = TrainState(params["train"], opt_state,
                                 jnp.asarray(0, dtype=jnp.int32))
         self.train_window, self.train_step = make_train_step(
-            cfg, self.scene, self.frozen, self.views, self.tx
+            cfg, self.scene, self.frozen, self.views, self.tx,
+            local_bundle=local_bundle,
         )
         self.render_image = make_render_fn(cfg, self.scene, self.frozen)
 
@@ -179,7 +216,8 @@ class Trainer:
         """Install pretrained local-prior weights (reference train.py:124-143)."""
         self.frozen = frozen_params
         self.train_window, self.train_step = make_train_step(
-            self.cfg, self.scene, self.frozen, self.views, self.tx
+            self.cfg, self.scene, self.frozen, self.views, self.tx,
+            local_bundle=self.local_bundle,
         )
         self.render_image = make_render_fn(self.cfg, self.scene, self.frozen)
 
