@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY §4: pjit tests with xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spurfies_tpu.config import (
+    Config,
+    ModelConfig,
+    SamplerConfig,
+    TrainConfig,
+)
+from spurfies_tpu.data.synthetic import make_synthetic_scene
+from spurfies_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+from spurfies_tpu.train.trainer import Trainer
+
+TINY = Config(
+    model=ModelConfig(
+        max_shading_pts=16,
+        ray_sampler=SamplerConfig(
+            near=0.5, far=3.0, n_samples=16, n_samples_eval=32,
+            n_samples_extra=8,
+        ),
+    ),
+    train=TrainConfig(num_pixels=64, fast_iters=1),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    pts, cols, views = make_synthetic_scene(n_points=1500, n_views=2,
+                                            img_res=(24, 24))
+    trainer = Trainer(TINY, pts, cols, views)
+    return trainer
+
+
+def _batch(trainer, n_pix):
+    uv = np.asarray(trainer.views["uv"])[:n_pix]
+    return {
+        "inputs": {
+            "uv": jnp.asarray(uv)[None],
+            "pose": trainer.views["pose"][0][None],
+            "intrinsics": trainer.views["intrinsics"][0][None],
+        },
+        "gt": {
+            "rgb": trainer.views["rgb"][0][:n_pix],
+            "mask": trainer.views["mask"][0][:n_pix],
+        },
+    }
+
+
+def test_device_count():
+    assert jax.device_count() >= 8, (
+        "conftest must provide 8 virtual CPU devices"
+    )
+
+
+@pytest.mark.slow
+def test_sharded_step_runs(setup):
+    trainer = setup
+    mesh = make_mesh(8)
+    step, place = make_sharded_train_step(
+        TINY, trainer.scene, trainer.frozen, trainer.tx, mesh
+    )
+    batch = place(_batch(trainer, TINY.train.num_pixels))
+    state, parts = step(trainer.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(parts["loss"]))
+    assert int(state.step) == 1
+
+
+@pytest.mark.slow
+def test_sharded_matches_single_device(setup):
+    """Ray sharding must not change the math: same batch, same loss and
+    same parameter update on a 1-device and an 8-device mesh."""
+    trainer = setup
+    batch_raw = _batch(trainer, TINY.train.num_pixels)
+
+    results = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        step, place = make_sharded_train_step(
+            TINY, trainer.scene, trainer.frozen, trainer.tx, mesh
+        )
+        state, parts = step(trainer.state, place(batch_raw),
+                            jax.random.PRNGKey(0))
+        results[n] = (float(parts["loss"]),
+                      np.asarray(state.params["feats_color"]))
+
+    assert results[1][0] == pytest.approx(results[8][0], rel=1e-4)
+    np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-5)
