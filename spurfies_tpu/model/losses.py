@@ -18,8 +18,15 @@ def rgb_loss(pred, gt, kind: str = "l1"):
 
 def eikonal_loss(grad_theta, valid):
     """((|grad| - 1)^2) masked mean (reference loss.py:47-49 computes over
-    the compacted valid shading points)."""
-    norms = jnp.linalg.norm(grad_theta, axis=-1)
+    the compacted valid shading points).
+
+    Invalid rows carry exactly-zero gradients; substituting a unit vector
+    before the norm keeps the backward pass NaN-free (d|x|/dx at 0 is NaN
+    and even masked-out cotangents propagate it).
+    """
+    safe = jnp.where(valid[..., None], grad_theta,
+                     jnp.asarray([1.0, 0.0, 0.0]))
+    norms = jnp.linalg.norm(safe, axis=-1)
     per = (norms - 1.0) ** 2
     per = jnp.where(valid, per, 0.0)
     return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1)
