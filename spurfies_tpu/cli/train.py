@@ -79,15 +79,22 @@ def train_scene(cfg: Config, scan: str, resume: bool = False):
     trainer = Trainer(cfg, sd.points, sd.colors, sd.train_views(),
                       local_bundle=local_bundle)
 
-    # frozen local-geometry prior (reference train.py:124-157); without it
-    # the SDF decoder stays randomly initialized (tests / smoke runs only)
+    # frozen local-geometry prior (reference train.py:124-157): prefer the
+    # converted torch checkpoint, else our own pretrained prior
+    # (cli/pretrain_prior.py); else warn (tests / smoke runs only)
     prior_ckpt = os.path.join("ckpt", "local_prior.pt")
+    own_prior = os.path.abspath(os.path.join("artifacts", "local_prior"))
     if os.path.exists(prior_ckpt):
         from spurfies_tpu.convert.torch2jax import convert_local_prior
         trainer.load_frozen(convert_local_prior(prior_ckpt))
-        log.info("loaded frozen local-geometry prior")
+        log.info("loaded frozen local-geometry prior (torch ckpt)")
+    elif os.path.isdir(own_prior):
+        from spurfies_tpu.prior.pretrain import load_prior
+        trainer.load_frozen(load_prior(own_prior))
+        log.info("loaded frozen local-geometry prior (pretrained here)")
     else:
-        log.warning("ckpt/local_prior.pt not found — frozen SDF decoder is "
+        log.warning("no local prior found (ckpt/local_prior.pt or "
+                    "artifacts/local_prior) — frozen SDF decoder is "
                     "randomly initialized")
 
     exp = None
