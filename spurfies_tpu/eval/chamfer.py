@@ -44,11 +44,21 @@ def sample_triangles(verts: np.ndarray, faces: np.ndarray,
 
 def radius_downsample(pts: np.ndarray, radius: float = 0.2,
                       seed: int = 0):
-    """Greedy radius dedup after shuffle (eval_dtu.py:119-140)."""
-    from sklearn.neighbors import KDTree
+    """Greedy radius dedup after shuffle (eval_dtu.py:119-140).
+
+    Native grid-hash kernel when available (meshes sample to millions of
+    points at the DTU 0.2mm density); sklearn KDTree fallback.
+    """
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(pts))
     pts = pts[order]
+
+    from spurfies_tpu.native import radius_dedup
+    keep_idx = radius_dedup(pts, radius)
+    if keep_idx is not None:
+        return pts[keep_idx]
+
+    from sklearn.neighbors import KDTree
     tree = KDTree(pts)
     nbrs = tree.query_radius(pts, radius)
     keep = np.ones(len(pts), dtype=bool)

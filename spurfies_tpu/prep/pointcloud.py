@@ -31,10 +31,17 @@ def greedy_spacing_subsample(points, spacing: float = 0.025, seed: int = 0):
     """Greedy subsample: accept a point if no already-accepted point lies
     within ``spacing`` (reference subsample semantics, :69-105).
 
-    Grid-hash accelerated: O(N) with a cell size of ``spacing``.
+    Grid-hash accelerated: O(N) with a cell size of ``spacing``.  Uses the
+    native kernel (native/spurfies_io.cpp) when available; Python fallback
+    below is identical.
     """
     pts = np.asarray(points)
     n = len(pts)
+
+    from spurfies_tpu.native import spacing_subsample
+    native = spacing_subsample(pts, spacing)
+    if native is not None:
+        return native
     order = np.arange(n)
     cell = spacing
     lo = pts.min(0) - cell
