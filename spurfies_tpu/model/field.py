@@ -134,11 +134,15 @@ def sdf_and_grad(frozen, geo_latents, points, idx, valid, x, rbf):
 
 
 def aggregate_color(train_params, color_latents, points, idx, valid, x,
-                    ray_dirs, rbf, pos_multires=6, view_multires=3):
+                    ray_dirs, rbf, pos_multires=6, view_multires=3,
+                    compute_dtype=jnp.bfloat16):
     """View-dependent color at shading points.
 
     Args:
       x: ``[M, 3]`` shading points; ray_dirs: ``[M, 3]`` unit directions.
+      compute_dtype: the color MLPs run in bf16 by default — they are
+        HBM-bandwidth-bound ([M*K, 256] activations) and color tolerates
+        bf16 rounding; aggregation stays f32.
 
     Returns colors ``[M, 3]`` in [0, 1].
     """
@@ -150,12 +154,13 @@ def aggregate_color(train_params, color_latents, points, idx, valid, x,
 
     pos_enc = positional_encoding(x_pi, pos_multires)       # [M, K, 39]
     field_in = jnp.concatenate([pos_enc, cfeat], axis=-1)   # [M, K, 103]
-    feat = mlp_apply(train_params["F_color"], field_in)     # [M, K, 256]
+    feat = mlp_apply(train_params["F_color"], field_in,
+                     compute_dtype=compute_dtype)           # [M, K, 256]
     feat = jnp.where(valid[..., None], feat, 0.0)
     has = norm > 0
     agg = jnp.sum(w[..., None] * feat, axis=-2) / jnp.where(has, norm, 1.0)
 
     dir_enc = positional_encoding(ray_dirs, view_multires)  # [M, 21]
     rgb = mlp_apply(train_params["R"], jnp.concatenate([dir_enc, agg], -1),
-                    final_act="sigmoid")
+                    final_act="sigmoid", compute_dtype=compute_dtype)
     return rgb

@@ -131,8 +131,8 @@ def make_prior_train_step(cfg: PriorConfig, corpus, spec, tx):
         return loss, {"sdf_l1": sdf_loss, "eikonal": eik,
                       "coverage": jnp.mean(has.astype(jnp.float32))}
 
-    @jax.jit
-    def step(params, opt_state, key):
+    def step(carry, key):
+        params, opt_state = carry
         ks, kq = jax.random.split(key)
         s = jax.random.randint(ks, (), 0, cfg.n_shapes)
         qidx = jax.random.choice(kq, cfg.n_query, (cfg.batch_queries,),
@@ -143,9 +143,19 @@ def make_prior_train_step(cfg: PriorConfig, corpus, spec, tx):
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         aux["loss"] = loss
-        return params, opt_state, aux
+        return (params, opt_state), aux
 
-    return step
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def window(params, opt_state, key, n_steps: int):
+        """n_steps on device per host roundtrip (dispatch-latency hiding)."""
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), aux = jax.lax.scan(
+            step, (params, opt_state), keys
+        )
+        last = jax.tree_util.tree_map(lambda a: a[-1], aux)
+        return params, opt_state, last
+
+    return window
 
 
 def pretrain(cfg: PriorConfig = PriorConfig(), log_every: int = 500,
@@ -169,18 +179,20 @@ def pretrain(cfg: PriorConfig = PriorConfig(), log_every: int = 500,
         ),
     )
     opt_state = tx.init(params)
-    step = make_prior_train_step(cfg, corpus, spec, tx)
+    window = make_prior_train_step(cfg, corpus, spec, tx)
 
     history = []
-    for i in range(cfg.steps):
+    done = 0
+    while done < cfg.steps:
+        n = min(log_every, cfg.steps - done)
         key, sub = jax.random.split(key)
-        params, opt_state, aux = step(params, opt_state, sub)
-        if (i + 1) % log_every == 0:
-            rec = {k: float(v) for k, v in aux.items()}
-            rec["step"] = i + 1
-            history.append(rec)
-            if callback:
-                callback(rec)
+        params, opt_state, aux = window(params, opt_state, sub, n)
+        done += n
+        rec = {k: float(v) for k, v in aux.items()}
+        rec["step"] = done
+        history.append(rec)
+        if callback:
+            callback(rec)
     return params, history
 
 
