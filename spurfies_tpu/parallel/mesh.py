@@ -46,7 +46,8 @@ def make_sharded_train_step(cfg: Config, scene, frozen, tx, mesh: Mesh):
     The batch's ray axis is annotated with a sharding constraint; everything
     else (params, scene tables, optimizer state) is replicated.  Gradient
     cross-chip reduction is inserted by XLA — no hand-written collectives in
-    the hot path (they ride ICI).
+    the hot path (they ride ICI).  scene/frozen are traced args of the
+    jitted step (replicated), not closure constants.
     """
     mcfg, lcfg = cfg.model, cfg.loss
     fast = cfg.train.fast_iters
@@ -73,27 +74,33 @@ def make_sharded_train_step(cfg: Config, scene, frozen, tx, mesh: Mesh):
             },
         }
 
-    def loss_fn(tp, batch, key):
-        params = {"frozen": frozen, "train": tp}
-        out = render_rays(params, scene, batch["inputs"], key, mcfg,
+    def loss_fn(tp, ctx, batch, key):
+        params = {"frozen": ctx["frozen"], "train": tp}
+        out = render_rays(params, ctx["scene"], batch["inputs"], key, mcfg,
                           train=True, iters=fast)
-        out["tv_loss"] = tv_loss(params, scene)
-        out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out, mcfg)
+        out["tv_loss"] = tv_loss(params, ctx["scene"])
+        out["pseudo_pts_loss"] = pseudo_sdf_loss(params, ctx["scene"], out,
+                                                 mcfg)
         loss, parts = total_loss(out, batch["gt"], lcfg)
         parts["psnr"] = psnr_fn(
             out["rgb_values"], batch["gt"]["rgb"].reshape(-1, 3)
         )
         return loss, parts
 
+    rep_ctx = jax.device_put({"scene": scene, "frozen": frozen}, rep)
+
     @partial(jax.jit, out_shardings=None)
-    def step(state: TrainState, batch, key):
+    def _step(state: TrainState, ctx, batch, key):
         batch = constrain(batch)
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key
+            state.params, ctx, batch, key
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), parts
+
+    def step(state, batch, key):
+        return _step(state, rep_ctx, batch, key)
 
     def place_batch(batch):
         return {

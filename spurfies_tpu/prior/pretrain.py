@@ -100,10 +100,12 @@ def init_prior_params(key, cfg: PriorConfig):
     return {"decoder": decoder, "latents": latents}
 
 
-def make_prior_train_step(cfg: PriorConfig, corpus, spec, tx):
+def make_prior_train_step(cfg: PriorConfig, spec, tx):
+    """corpus is a traced argument (NOT a closure constant: 100s of MB of
+    baked-in constants make XLA compiles crawl)."""
     from spurfies_tpu.ops.voxel_grid import QueryTable, query_grid
 
-    def shape_sdf_and_grad(params, s, x):
+    def shape_sdf_and_grad(params, corpus, s, x):
         qt = QueryTable(
             idx=corpus["table_idx"][s], pos=corpus["table_pos"][s], r=cfg.r
         )
@@ -114,10 +116,10 @@ def make_prior_train_step(cfg: PriorConfig, corpus, spec, tx):
             corpus["points"][s], idx, valid, x, cfg.rbf,
         ), jnp.any(valid, -1)
 
-    def loss_fn(params, s, qidx):
+    def loss_fn(params, corpus, s, qidx):
         x = corpus["query"][s][qidx]
         gt = corpus["query_sdf"][s][qidx]
-        (sdf, grad), has = shape_sdf_and_grad(params, s, x)
+        (sdf, grad), has = shape_sdf_and_grad(params, corpus, s, x)
         l1 = jnp.where(has, jnp.abs(sdf - gt), 0.0)
         sdf_loss = jnp.sum(l1) / jnp.maximum(jnp.sum(has), 1)
         # neighbor-less rows have exactly-zero grad: unit-substitute before
@@ -131,14 +133,14 @@ def make_prior_train_step(cfg: PriorConfig, corpus, spec, tx):
         return loss, {"sdf_l1": sdf_loss, "eikonal": eik,
                       "coverage": jnp.mean(has.astype(jnp.float32))}
 
-    def step(carry, key):
+    def step(corpus, carry, key):
         params, opt_state = carry
         ks, kq = jax.random.split(key)
         s = jax.random.randint(ks, (), 0, cfg.n_shapes)
         qidx = jax.random.choice(kq, cfg.n_query, (cfg.batch_queries,),
                                  replace=False)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, s, qidx
+            params, corpus, s, qidx
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -146,11 +148,11 @@ def make_prior_train_step(cfg: PriorConfig, corpus, spec, tx):
         return (params, opt_state), aux
 
     @partial(jax.jit, static_argnames=("n_steps",))
-    def window(params, opt_state, key, n_steps: int):
+    def window(params, opt_state, corpus, key, n_steps: int):
         """n_steps on device per host roundtrip (dispatch-latency hiding)."""
         keys = jax.random.split(key, n_steps)
         (params, opt_state), aux = jax.lax.scan(
-            step, (params, opt_state), keys
+            lambda c, k: step(corpus, c, k), (params, opt_state), keys
         )
         last = jax.tree_util.tree_map(lambda a: a[-1], aux)
         return params, opt_state, last
@@ -179,14 +181,14 @@ def pretrain(cfg: PriorConfig = PriorConfig(), log_every: int = 500,
         ),
     )
     opt_state = tx.init(params)
-    window = make_prior_train_step(cfg, corpus, spec, tx)
+    window = make_prior_train_step(cfg, spec, tx)
 
     history = []
     done = 0
     while done < cfg.steps:
         n = min(log_every, cfg.steps - done)
         key, sub = jax.random.split(key)
-        params, opt_state, aux = window(params, opt_state, sub, n)
+        params, opt_state, aux = window(params, opt_state, corpus, sub, n)
         done += n
         rec = {k: float(v) for k, v in aux.items()}
         rec["step"] = done

@@ -47,51 +47,36 @@ class TrainState:
         return cls(*children)
 
 
-def make_train_step(cfg: Config, scene, frozen, views, tx,
-                    mesh=None, local_bundle=None):
+def make_train_step(cfg: Config, tx, use_local: bool = False):
     """Build the jitted train step.
 
-    Args:
-      views: dict of stacked device arrays
-        ``rgb [V, HW, 3]``, ``mask [V, HW, 1]``, ``uv [HW, 2]``,
-        ``pose [V, 4, 4]``, ``intrinsics [V, 4, 4]``.
-      tx: optax transform from build_optimizer.
-      mesh: optional jax.sharding.Mesh with a 'data' axis — rays are sharded
-        across it; jit inserts the gradient psum.
-      local_bundle: optional data.mvs_local.LocalBundle enabling the
-        feature-consistency loss (DTU; reference dtu.py:267-290).
+    Everything data-sized (scene tables, view stacks, frozen nets, MVS
+    features) is a traced ARGUMENT, never a closure constant — baked-in
+    constants of tens of MB make XLA compiles take minutes.
+
+    The returned window fn signature:
+      ``train_window(state, bundle, key, n_steps)`` where bundle =
+      {"scene": SceneState, "frozen": ..., "views": {...},
+       "local": optional ctx dict}.
     """
     mcfg = cfg.model
     lcfg = cfg.loss
     n_pix = cfg.train.num_pixels
-    n_views = views["rgb"].shape[0]
-    total_px = views["uv"].shape[0]
     fast = cfg.train.fast_iters
 
-    local_ctx = None
-    if local_bundle is not None and lcfg.local_weight > 0:
-        from spurfies_tpu.data.mvs_local import SRC_MAP
-        local_ctx = {
-            "feats": jnp.asarray(local_bundle.feats),
-            "cams": jnp.asarray(local_bundle.cams_hd),
-            "src": jnp.asarray(
-                [SRC_MAP[i] for i in range(n_views)], dtype=jnp.int32
-            ),
-            "size": jnp.asarray(local_bundle.size),
-            "center": jnp.asarray(local_bundle.center),
-        }
-
-    def loss_fn(tp, batch, key):
-        params = {"frozen": frozen, "train": tp}
+    def loss_fn(tp, bundle, batch, key):
+        scene = bundle["scene"]
+        params = {"frozen": bundle["frozen"], "train": tp}
         out = render_rays(params, scene, batch["inputs"], key, mcfg,
                           train=True, iters=fast)
         out["tv_loss"] = tv_loss(params, scene)
         out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out, mcfg)
-        if local_ctx is not None:
+        if use_local:
             from spurfies_tpu.model.local_loss import (
                 find_surface_depth,
                 local_feature_loss,
             )
+            local_ctx = bundle["local"]
             d_surf, surf_mask = find_surface_depth(
                 out["sdf"], out["z_sel"], out["valid_pt"]
             )
@@ -111,7 +96,9 @@ def make_train_step(cfg: Config, scene, frozen, views, tx,
         )
         return loss, parts
 
-    def sample_batch(key):
+    def sample_batch(views, key):
+        n_views = views["rgb"].shape[0]
+        total_px = views["uv"].shape[0]
         kv, kp = jax.random.split(key)
         v = jax.random.randint(kv, (), 0, n_views)
         pix = jax.random.choice(kp, total_px, (n_pix,), replace=False)
@@ -126,41 +113,45 @@ def make_train_step(cfg: Config, scene, frozen, views, tx,
         }
         return {"inputs": inputs, "gt": gt, "view": v}
 
-    def train_step(state: TrainState, key):
-        batch = sample_batch(jax.random.fold_in(key, 0))
+    def train_step(bundle, state: TrainState, key):
+        batch = sample_batch(bundle["views"], jax.random.fold_in(key, 0))
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, jax.random.fold_in(key, 1)
+            state.params, bundle, batch, jax.random.fold_in(key, 1)
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), parts
 
-    def train_window(state: TrainState, key, n_steps: int):
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def train_window(state: TrainState, bundle, key, n_steps: int):
         """n_steps of training fully on device."""
         keys = jax.random.split(key, n_steps)
-        return jax.lax.scan(train_step, state, keys)
+        return jax.lax.scan(
+            lambda s, k: train_step(bundle, s, k), state, keys
+        )
 
-    return jax.jit(train_window, static_argnames=("n_steps",)), train_step
+    return train_window, train_step
 
 
-def make_render_fn(cfg: Config, scene, frozen, chunk: int = 1024):
+def make_render_fn(cfg: Config, chunk: int = 1024):
     """Full-image eval renderer (reference render_step, train.py:399-472).
 
-    Renders in fixed ``chunk``-ray slices under one jit; returns stacked dense
-    outputs for PSNR / plotting.
+    Renders in fixed ``chunk``-ray slices under one jit; returns stacked
+    dense outputs for PSNR / plotting.  scene/frozen are traced args (see
+    make_train_step note on closure constants).
     """
     mcfg = cfg.model
     iters = mcfg.ray_sampler.max_total_iters
 
     @jax.jit
-    def render_chunk(tp, inputs, key):
+    def render_chunk(tp, scene, frozen, inputs, key):
         params = {"frozen": frozen, "train": tp}
         out = render_rays(params, scene, inputs, key, mcfg, train=False,
                           iters=iters)
         keep = ("rgb_values", "depth_values", "normal_map", "acc", "weights")
         return {k: out[k] for k in keep}
 
-    def render_image(tp, uv, pose, intrinsics, key):
+    def render_image(tp, scene, frozen, uv, pose, intrinsics, key):
         n = uv.shape[0]
         pad = (-n) % chunk
         uv_p = np.pad(np.asarray(uv), ((0, pad), (0, 0)))
@@ -171,7 +162,7 @@ def make_render_fn(cfg: Config, scene, frozen, chunk: int = 1024):
                 "pose": pose[None],
                 "intrinsics": intrinsics[None],
             }
-            outs.append(render_chunk(tp, inputs, key))
+            outs.append(render_chunk(tp, scene, frozen, inputs, key))
         merged = {
             k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
             for k in outs[0]
@@ -206,20 +197,44 @@ class Trainer:
         opt_state = self.tx.init(params["train"])
         self.state = TrainState(params["train"], opt_state,
                                 jnp.asarray(0, dtype=jnp.int32))
+        use_local = (local_bundle is not None
+                     and cfg.loss.local_weight > 0)
+        self.local_ctx = None
+        if use_local:
+            from spurfies_tpu.data.mvs_local import SRC_MAP
+            n_views = self.views["rgb"].shape[0]
+            self.local_ctx = {
+                "feats": jnp.asarray(local_bundle.feats),
+                "cams": jnp.asarray(local_bundle.cams_hd),
+                "src": jnp.asarray(
+                    [SRC_MAP[i] for i in range(n_views)], dtype=jnp.int32
+                ),
+                "size": jnp.asarray(local_bundle.size),
+                "center": jnp.asarray(local_bundle.center),
+            }
         self.train_window, self.train_step = make_train_step(
-            cfg, self.scene, self.frozen, self.views, self.tx,
-            local_bundle=local_bundle,
+            cfg, self.tx, use_local=use_local
         )
-        self.render_image = make_render_fn(cfg, self.scene, self.frozen)
+        self._render = make_render_fn(cfg)
+
+    @property
+    def bundle(self):
+        b = {"scene": self.scene, "frozen": self.frozen,
+             "views": self.views}
+        if self.local_ctx is not None:
+            b["local"] = self.local_ctx
+        return b
+
+    def render_image(self, tp, uv, pose, intrinsics, key):
+        return self._render(tp, self.scene, self.frozen, uv, pose,
+                            intrinsics, key)
 
     def load_frozen(self, frozen_params):
-        """Install pretrained local-prior weights (reference train.py:124-143)."""
-        self.frozen = frozen_params
-        self.train_window, self.train_step = make_train_step(
-            self.cfg, self.scene, self.frozen, self.views, self.tx,
-            local_bundle=self.local_bundle,
-        )
-        self.render_image = make_render_fn(self.cfg, self.scene, self.frozen)
+        """Install pretrained local-prior weights (reference train.py:124-143).
+
+        frozen is a traced arg of the jitted step, so this does NOT
+        recompile."""
+        self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen_params)
 
     def run(self, n_steps: int, window: int = 100, callback=None):
         """Run n_steps; callback(step, metrics) per window."""
@@ -227,7 +242,8 @@ class Trainer:
         while done < n_steps:
             w = min(window, n_steps - done)
             self.key, sub = jax.random.split(self.key)
-            self.state, parts = self.train_window(self.state, sub, w)
+            self.state, parts = self.train_window(self.state, self.bundle,
+                                                  sub, w)
             done += w
             if callback is not None:
                 last = {k: np.asarray(v)[-1] for k, v in parts.items()}
