@@ -15,6 +15,11 @@ def enable_compilation_cache(path: str | None = None):
     if _ENABLED:
         return
     import jax
+    if jax.default_backend() == "cpu":
+        # XLA:CPU AOT entries are machine-feature-sensitive (SIGILL risk
+        # when the cache was written under a different feature profile);
+        # CPU compiles are also fast enough not to need caching.
+        return
     path = path or os.environ.get(
         "SPURFIES_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "spurfies_xla"),
