@@ -37,15 +37,20 @@ def main():
     )
     trainer = Trainer(cfg, pts, cols, views)
 
+    def sync():
+        # scalar host readback: block_until_ready returns early on the
+        # tunneled axon backend; a readback is a true device sync
+        return float(trainer.state.params["beta"])
+
     window = 50
     # warmup + compile (same window size as the timed run: one compile)
     trainer.run(window, window=window)
-    jax.block_until_ready(trainer.state.params)
+    sync()
 
     n_steps = 200
     t0 = time.perf_counter()
     trainer.run(n_steps, window=window)
-    jax.block_until_ready(trainer.state.params)
+    sync()
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_steps * cfg.train.num_pixels / dt
