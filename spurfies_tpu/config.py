@@ -42,6 +42,9 @@ class SamplerConfig:
 class ModelConfig:
     """PointVolSDF knobs (reference config/vol/dtu_pn.yaml:23-35)."""
     feature_vector_size: int = 64     # color latent dim (geometry = half)
+    entangled: bool = False           # legacy single-latent ablation
+    #                                   (reference pointneus.py; trainable
+    #                                   trunk, 1/d weights, uniform sampler)
     scene_bounding_sphere: float = 3.0
     white_bkgd: bool = False
     bg_color: tuple = (1.0, 1.0, 1.0)

@@ -116,6 +116,61 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     )
 
 
+def inverse_distance_weights(x_pi: jnp.ndarray, valid: jnp.ndarray):
+    """Legacy 1/d interpolation weights (reference pointneus.py:184-190;
+    NOT detached there, unlike the disentangled RBF weights)."""
+    dist = jnp.maximum(jnp.linalg.norm(x_pi, axis=-1), 1e-12)
+    w = (1.0 / dist) * valid.astype(x_pi.dtype)
+    norm = jnp.sum(w, axis=-1, keepdims=True)
+    return w, norm
+
+
+def entangled_sdf_feat(train_params, feats, points, idx, valid, x,
+                       pos_multires: int = 4):
+    """Legacy entangled field: trunk F([posenc4(x_pi), latent]) -> (T->sdf,
+    trunk features for color), 1/d-weighted aggregation
+    (reference pointneus.py:260-310 semantics).
+
+    Returns (sdf ``[M]`` filler 1000, agg_feat ``[M, 256]``, has ``[M]``).
+    """
+    safe_idx = jnp.maximum(idx, 0)
+    npos = points[safe_idx]
+    lat = feats[safe_idx]                          # [M, K, 64]
+    x_pi = x[:, None, :] - npos
+    w, norm = inverse_distance_weights(x_pi, valid)
+
+    pos_enc = positional_encoding(x_pi, pos_multires)
+    h = mlp_apply(train_params["F"],
+                  jnp.concatenate([pos_enc, lat], axis=-1))   # [M, K, 256]
+    sdf_k = mlp_apply(train_params["T"], h)[..., 0]
+    sdf_k = jnp.where(valid, sdf_k, 0.0)
+    h = jnp.where(valid[..., None], h, 0.0)
+
+    has = norm[..., 0] > 0
+    denom = jnp.where(has, norm[..., 0], 1.0)
+    sdf = jnp.where(has, jnp.sum(w * sdf_k, -1) / denom, SDF_FILLER)
+    feat = jnp.sum(w[..., None] * h, -2) / denom[..., None]
+    return sdf, feat, has
+
+
+def entangled_sdf_grad_color(train_params, feats, points, idx, valid, x,
+                             ray_dirs, view_multires: int = 6):
+    """sdf + spatial gradient + color for the legacy model."""
+    def scalar_sdf(xi, idx_i, valid_i):
+        s, _, _ = entangled_sdf_feat(train_params, feats, points,
+                                     idx_i[None], valid_i[None], xi[None])
+        return s[0]
+
+    sdf, grad = jax.vmap(jax.value_and_grad(scalar_sdf))(x, idx, valid)
+    _, feat, _ = entangled_sdf_feat(train_params, feats, points, idx,
+                                    valid, x)
+    dir_enc = positional_encoding(ray_dirs, view_multires)
+    rgb = mlp_apply(train_params["R"],
+                    jnp.concatenate([dir_enc, feat], -1),
+                    final_act="sigmoid")
+    return sdf, grad, rgb
+
+
 def sdf_and_grad(frozen, geo_latents, points, idx, valid, x, rbf):
     """Aggregated SDF and its spatial gradient d(sdf)/dx.
 

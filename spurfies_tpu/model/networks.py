@@ -71,11 +71,28 @@ def mlp_apply(layers, x, final_act=None, hidden_act="leaky_relu",
 def init_model_params(key, cfg: ModelConfig):
     """Build the full parameter pytree, split frozen/trainable.
 
-    Returns ``{"frozen": {F_geometry, T}, "train": {F_color, R, beta}}``;
-    per-scene latents are added by neural_points.build_scene.
+    Disentangled (default): ``{"frozen": {F_geometry, T},
+    "train": {F_color, R, beta}}``; per-scene latents are added by
+    neural_points.build_scene.
+
+    Entangled (legacy ablation, reference pointneus.py:51-69): one trunk
+    F([latent64, posenc4(x_pi)]) feeding both T (sdf) and R (color); all
+    trainable, so frozen is empty.
     """
     kg, kt, kc, kr = jax.random.split(key, 4)
     fdim = cfg.feature_vector_size
+
+    if cfg.entangled:
+        f_in = fdim + encoding_dim(4, 3)          # 64 + 27
+        r_in = 256 + encoding_dim(6, 3)           # 256 + 39
+        train = {
+            "F": mlp_init(kg, [f_in, 256, 256, 256, 256]),
+            "T": mlp_init(kt, [256, 1]),
+            "R": mlp_init(kr, [r_in, 256, 256, 3]),
+            "beta": jnp.asarray(cfg.density.beta_init, dtype=jnp.float32),
+        }
+        return {"frozen": {}, "train": train}
+
     geo_in = fdim // 2 + 3
     color_in = fdim + encoding_dim(cfg.pos_multires, 3)
     r_in = 256 + encoding_dim(cfg.view_multires, 3)

@@ -104,6 +104,10 @@ def build_scene(key, raw_points: np.ndarray, cfg: ModelConfig,
         rgb = jnp.asarray(cols[:, :3], dtype=jnp.float32) * 2.0 / 255.0 - 1.0
         feats_color = feats_color.at[:, :3].set(rgb)
 
+    if cfg.entangled:
+        # legacy single latent (reference pointneus.py:95-111)
+        return scene, {"feats": feats_color}
+
     feats_geometry = 0.01 * jax.random.normal(kg, (n, fdim // 2), jnp.float32)
     norms = jnp.linalg.norm(feats_geometry, axis=-1, keepdims=True)
     desired = jnp.minimum(norms, 1.0)

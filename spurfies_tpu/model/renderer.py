@@ -67,16 +67,22 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     beta_param = tp["beta"]
     beta0 = jax.lax.stop_gradient(get_beta(beta_param, cfg.density.beta_min))
 
-    def sdf_probe_fn(x):
-        return field.sdf_probe(
-            jax.lax.stop_gradient(frozen),
-            jax.lax.stop_gradient(tp["feats_geometry"]),
-            scene, x, cfg.k, cfg.r, cfg.rbf,
-        )
-
     key, skey = jax.random.split(key)
-    z_all = error_bound_z_vals(skey, sdf_probe_fn, cam_loc, ray_dirs, scfg,
-                               beta0, iters, train)  # [R, Z]
+    if cfg.entangled:
+        # legacy model samples uniformly only (reference pointneus.py:73-75)
+        from spurfies_tpu.model.sampler import uniform_z_vals
+        z_all = uniform_z_vals(skey, n_rays, scfg.near, scfg.far,
+                               scfg.n_samples, stratified=train)
+    else:
+        def sdf_probe_fn(x):
+            return field.sdf_probe(
+                jax.lax.stop_gradient(frozen),
+                jax.lax.stop_gradient(tp["feats_geometry"]),
+                scene, x, cfg.k, cfg.r, cfg.rbf,
+            )
+
+        z_all = error_bound_z_vals(skey, sdf_probe_fn, cam_loc, ray_dirs,
+                                   scfg, beta0, iters, train)  # [R, Z]
     z_all = jax.lax.stop_gradient(z_all)
     points = cam_loc[:, None, :] + z_all[..., None] * ray_dirs[:, None, :]
 
@@ -102,21 +108,28 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     flat_x = shading_pts.reshape(-1, 3)
     flat_idx = nbr_idx.reshape(-1, K)
     flat_valid = nbr_valid.reshape(-1, K)
-
-    sdf_flat, grad_flat = field.sdf_and_grad(
-        frozen, tp["feats_geometry"], scene.points, flat_idx, flat_valid,
-        flat_x, cfg.rbf,
-    )
-    sdf = sdf_flat.reshape(n_rays, S)
-    gradients = grad_flat.reshape(n_rays, S, 3)
-
     flat_dirs = jnp.broadcast_to(
         ray_dirs[:, None, :], (n_rays, S, 3)
     ).reshape(-1, 3)
-    colors = field.aggregate_color(
-        tp, tp["feats_color"], scene.points, flat_idx, flat_valid, flat_x,
-        flat_dirs, cfg.rbf, cfg.pos_multires, cfg.view_multires,
-    ).reshape(n_rays, S, 3)
+
+    if cfg.entangled:
+        sdf_flat, grad_flat, colors_flat = field.entangled_sdf_grad_color(
+            tp, tp["feats"], scene.points, flat_idx, flat_valid, flat_x,
+            flat_dirs,
+        )
+        colors = colors_flat.reshape(n_rays, S, 3)
+    else:
+        sdf_flat, grad_flat = field.sdf_and_grad(
+            frozen, tp["feats_geometry"], scene.points, flat_idx,
+            flat_valid, flat_x, cfg.rbf,
+        )
+        colors = field.aggregate_color(
+            tp, tp["feats_color"], scene.points, flat_idx, flat_valid,
+            flat_x, flat_dirs, cfg.rbf, cfg.pos_multires,
+            cfg.view_multires,
+        ).reshape(n_rays, S, 3)
+    sdf = sdf_flat.reshape(n_rays, S)
+    gradients = grad_flat.reshape(n_rays, S, 3)
 
     valid_pt = sel_valid                                # [R, S]
     beta = get_beta(beta_param, cfg.density.beta_min)

@@ -23,7 +23,8 @@ def cosine_lr(base_lr: float, t_max: int, eta_min: float):
     return schedule
 
 
-def build_optimizer(train_cfg, latent_keys=("feats_color", "feats_geometry")):
+def build_optimizer(train_cfg,
+                    latent_keys=("feats_color", "feats_geometry", "feats")):
     """Optax chain replicating the reference optimization dynamics."""
     base = cosine_lr(train_cfg.learning_rate, train_cfg.cosine_t_max,
                      train_cfg.cosine_eta_min)

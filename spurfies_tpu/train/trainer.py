@@ -69,8 +69,10 @@ def make_train_step(cfg: Config, tx, use_local: bool = False):
         params = {"frozen": bundle["frozen"], "train": tp}
         out = render_rays(params, scene, batch["inputs"], key, mcfg,
                           train=True, iters=fast)
-        out["tv_loss"] = tv_loss(params, scene)
-        out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out, mcfg)
+        if not mcfg.entangled:  # legacy ablation trains rgb+eik+mask only
+            out["tv_loss"] = tv_loss(params, scene)
+            out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out,
+                                                     mcfg)
         if use_local:
             from spurfies_tpu.model.local_loss import (
                 find_surface_depth,
