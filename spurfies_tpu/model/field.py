@@ -48,11 +48,25 @@ def rbf_weights(x_pi: jnp.ndarray, valid: jnp.ndarray, rbf: float):
     return w, norm
 
 
+GEOMETRY_DTYPE = jnp.float32  # set to jnp.bfloat16 via set_geometry_dtype
+
+
+def set_geometry_dtype(dtype):
+    """Global compute dtype for the frozen SDF MLP (bandwidth-bound).
+
+    bf16 halves the HBM traffic of the hot pair-MLP; SDF outputs keep f32
+    accumulation.  Validate quality before enabling for final benchmarks.
+    """
+    global GEOMETRY_DTYPE
+    GEOMETRY_DTYPE = dtype
+
+
 def pair_sdf(frozen, geo_feats: jnp.ndarray, x_pi: jnp.ndarray):
     """Per-(point, neighbor)-pair SDF: T(F_geometry([geo, x_pi]))."""
     field_in = jnp.concatenate([geo_feats, x_pi], axis=-1)
-    h = mlp_apply(frozen["F_geometry"], field_in)
-    return mlp_apply(frozen["T"], h)[..., 0]
+    dtype = None if GEOMETRY_DTYPE == jnp.float32 else GEOMETRY_DTYPE
+    h = mlp_apply(frozen["F_geometry"], field_in, compute_dtype=dtype)
+    return mlp_apply(frozen["T"], h, compute_dtype=dtype)[..., 0]
 
 
 def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
@@ -87,29 +101,40 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     which are the same computation copy-pasted four times.  ``r`` must match
     the radius the scene's QueryTable was built with.
 
-    budget_frac: most probe points lie in empty space (no neighbors); with a
-    budget, only the first ``budget_frac * M`` with-neighbor points (static
-    shape) run the pair MLP — a sorted gather/scatter replaces the
+    budget_frac: most probe points lie in empty space (no neighbors); a
+    one-int-per-point cell-occupancy gather prunes them BEFORE the kNN
+    query, and only the first ``budget_frac * M`` occupied points (static
+    shape) run query + pair MLP — a sorted gather/scatter replaces the
     reference's ragged CUDA compaction.  None disables (all M run, masked).
     """
+    from spurfies_tpu.ops.voxel_grid import _cell_ids
+
     m = x.shape[0]
-    idx, _ = query_grid(x, scene.table, scene.spec, k=k)
-    valid = idx >= 0
 
     if budget_frac is None or m < 1024:
+        idx, _ = query_grid(x, scene.table, scene.spec, k=k)
+        valid = idx >= 0
         sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx,
                                valid, x, rbf)
         return sdf
 
+    # occupancy prefilter: cell candidate list non-empty (superset of
+    # having neighbors within radius)
+    cid = _cell_ids(x, scene.spec)
+    in_grid = cid < scene.spec.num_cells
+    occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
+
     budget = max(int(m * budget_frac) // 128 * 128, 128)
-    any_valid = jnp.any(valid, axis=-1)
-    key = jnp.where(any_valid, jnp.arange(m, dtype=jnp.int32), m)
-    order = jnp.sort(key)[:budget]          # first `budget` valid positions
+    key = jnp.where(occ, jnp.arange(m, dtype=jnp.int32), m)
+    order = jnp.sort(key)[:budget]        # first `budget` occupied positions
     sel_ok = order < m
     sel = jnp.minimum(order, m - 1)
 
-    sdf_c, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx[sel],
-                             valid[sel] & sel_ok[:, None], x[sel], rbf)
+    x_c = x[sel]
+    idx_c, _ = query_grid(x_c, scene.table, scene.spec, k=k)
+    valid_c = (idx_c >= 0) & sel_ok[:, None]
+    sdf_c, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx_c,
+                             valid_c, x_c, rbf)
     out = jnp.full((m,), SDF_FILLER, dtype=x.dtype)
     return out.at[jnp.where(sel_ok, sel, m)].set(
         jnp.where(sel_ok, sdf_c, SDF_FILLER), mode="drop"
