@@ -1,0 +1,98 @@
+"""COLMAP text model -> NGP-style transforms.json converter.
+
+Role of reference ``scripts/colmap2nerf.py`` (the stock Instant-NGP script,
+SURVEY §2): turn a COLMAP sparse reconstruction into the ``<scan>.json``
+camera format the own-data pipeline consumes.  This is a from-scratch
+minimal reader of COLMAP's text export (cameras.txt / images.txt); ffmpeg
+frame extraction and COLMAP invocation remain external.
+"""
+
+import json
+import os
+
+import numpy as np
+
+
+def read_cameras_txt(path: str) -> dict:
+    """camera_id -> dict(model, w, h, fl_x, fl_y, cx, cy)."""
+    cams = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id, model = int(parts[0]), parts[1]
+            w, h = int(parts[2]), int(parts[3])
+            p = [float(v) for v in parts[4:]]
+            if model == "SIMPLE_PINHOLE":
+                fl_x = fl_y = p[0]
+                cx, cy = p[1], p[2]
+            elif model == "PINHOLE":
+                fl_x, fl_y, cx, cy = p[0], p[1], p[2], p[3]
+            elif model in ("SIMPLE_RADIAL", "RADIAL"):
+                fl_x = fl_y = p[0]
+                cx, cy = p[1], p[2]
+            elif model in ("OPENCV", "FULL_OPENCV"):
+                fl_x, fl_y, cx, cy = p[0], p[1], p[2], p[3]
+            else:
+                raise NotImplementedError(f"camera model {model}")
+            cams[cam_id] = {
+                "model": model, "w": w, "h": h,
+                "fl_x": fl_x, "fl_y": fl_y, "cx": cx, "cy": cy,
+            }
+    return cams
+
+
+def qvec_to_rot(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def read_images_txt(path: str) -> list:
+    """[(name, camera_id, c2w 4x4)] — COLMAP stores w2c (qvec, tvec)."""
+    out = []
+    with open(path) as f:
+        lines = [l.strip() for l in f
+                 if l.strip() and not l.startswith("#")]
+    for i in range(0, len(lines), 2):  # every other line is 2D points
+        parts = lines[i].split()
+        q = np.array([float(v) for v in parts[1:5]])
+        t = np.array([float(v) for v in parts[5:8]])
+        cam_id = int(parts[8])
+        name = parts[9]
+        R = qvec_to_rot(q)
+        c2w = np.eye(4)
+        c2w[:3, :3] = R.T
+        c2w[:3, 3] = -R.T @ t
+        out.append((name, cam_id, c2w))
+    return out
+
+
+def colmap_to_json(sparse_dir: str, out_path: str,
+                   image_prefix: str = "image"):
+    """Convert ``sparse_dir/{cameras.txt,images.txt}`` to transforms json."""
+    cams = read_cameras_txt(os.path.join(sparse_dir, "cameras.txt"))
+    images = read_images_txt(os.path.join(sparse_dir, "images.txt"))
+    images.sort(key=lambda x: x[0])
+
+    cam = cams[images[0][1]]
+    meta = {
+        "fl_x": cam["fl_x"], "fl_y": cam["fl_y"],
+        "cx": cam["cx"], "cy": cam["cy"],
+        "w": cam["w"], "h": cam["h"],
+        "frames": [
+            {
+                "file_path": f"{image_prefix}/{name}",
+                "transform_matrix": c2w.tolist(),
+            }
+            for name, _, c2w in images
+        ],
+    }
+    with open(out_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
