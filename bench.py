@@ -43,8 +43,10 @@ def main():
         return float(trainer.state.params["beta"])
 
     window = 50
-    # warmup + compile (same window size as the timed run: one compile)
-    trainer.run(window, window=window)
+    # warmup + compile (same window size as the timed run: one compile),
+    # then 300 steps so the measured regime has converged sampling patterns
+    # (gather locality is data-dependent; fresh scenes measure faster)
+    trainer.run(300, window=window)
     sync()
 
     n_steps = 200
