@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: fused candidate-distance + top-8 selection.
+
+The XLA query path (ops/voxel_grid.query_grid) spends most of its time in
+``jax.lax.top_k`` over the ``[M, qcap]`` distance matrix — a full bitonic
+sort per row with HBM-materialized intermediates.  This kernel computes
+distances and an iterative 8-extraction entirely in VMEM, writing only the
+``[M, k]`` results.
+
+Selection trick (no cross-lane gather needed): per extraction round, the
+minimum distance is broadcast-compared against the row; the winning lane's
+candidate index is recovered with a masked max-reduce, then masked to inf
+for subsequent rounds.
+
+Status: numerically exact vs the XLA path (tests/test_pallas_select.py) but
+NOT yet faster end-to-end — the candidate row gather still roundtrips HBM
+before the kernel reads it.  The planned follow-up moves the gather inside
+the kernel via PrefetchScalarGridSpec (cell ids as scalar-prefetch feeding
+per-tile DMAs of table rows), eliminating the [M, 3, Q] HBM intermediate.
+Until then query_grid's XLA path remains the default.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _select_kernel(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref, *,
+                   k: int, radius2: float):
+    x = x_ref[...]            # [T, 3]
+    pos = pos_ref[...]        # [T, 3, Q]
+    cand = idx_ref[...]       # [T, Q]
+
+    d2 = jnp.zeros(cand.shape, dtype=jnp.float32)
+    for d in range(3):
+        diff = pos[:, d, :] - x[:, d][:, None]
+        d2 = d2 + diff * diff
+
+    ok = (cand >= 0) & (d2 <= radius2)
+    d2 = jnp.where(ok, d2, jnp.inf)
+
+    neg_one = jnp.full_like(cand, -1)
+    for j in range(k):
+        m = jnp.min(d2, axis=-1, keepdims=True)          # [T, 1]
+        hit = d2 == m                                     # [T, Q]
+        picked = jnp.max(jnp.where(hit, cand, neg_one), axis=-1)
+        out_idx_ref[:, j] = jnp.where(jnp.isfinite(m[:, 0]), picked, -1)
+        out_d2_ref[:, j] = m[:, 0]
+        # mask only the picked lane (max-idx tie-break) for the next round
+        clear = hit & (cand == picked[:, None])
+        d2 = jnp.where(clear, jnp.inf, d2)
+
+
+@partial(jax.jit, static_argnames=("k", "radius2", "tile", "interpret"))
+def select_knn_pallas(x: jnp.ndarray, cand_idx: jnp.ndarray,
+                      cand_pos: jnp.ndarray, k: int = 8,
+                      radius2: float = 0.0025, tile: int = 512,
+                      interpret: bool = False):
+    """Fused distance + k-nearest selection.
+
+    Args:
+      x: ``[M, 3]`` queries.
+      cand_idx: ``[M, Q]`` int32 candidate point ids (-1 empty).
+      cand_pos: ``[M, 3, Q]`` candidate positions (inf where empty).
+
+    Returns (idx ``[M, k]`` int32 nearest-first, d2 ``[M, k]`` inf-invalid).
+    """
+    m = x.shape[0]
+    q = cand_idx.shape[-1]
+    pad = (-m) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        cand_idx = jnp.pad(cand_idx, ((0, pad), (0, 0)),
+                           constant_values=-1)
+        cand_pos = jnp.pad(cand_pos, ((0, pad), (0, 0), (0, 0)),
+                           constant_values=jnp.inf)
+    mp = m + pad
+
+    grid = (mp // tile,)
+    out_idx, out_d2 = pl.pallas_call(
+        partial(_select_kernel, k=k, radius2=radius2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, k), jnp.int32),
+            jax.ShapeDtypeStruct((mp, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, cand_pos, cand_idx)
+    return out_idx[:m], out_d2[:m]
