@@ -139,7 +139,12 @@ def train_scene(cfg: Config, scan: str, resume: bool = False):
             mse = float(np.mean(((pred - gt) ** 2)[mask]))
             writer.scalars(done, {"psnr": -10 * np.log10(mse + 1e-12)},
                            prefix="val")
-            writer.image(done, "val/render", np.clip(pred, 0, 1))
+            from spurfies_tpu.eval.plots import triptych
+            panel = triptych(
+                pred, out["depth_values"].reshape(h, w),
+                out["normal_map"].reshape(h, w, 3), gt=gt,
+            )
+            writer.image(done, "val/triptych", panel)
             log.info(f"step {done}: val psnr "
                      f"{-10 * np.log10(mse + 1e-12):.2f}")
 
