@@ -129,6 +129,8 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     order = jnp.sort(key)[:budget]        # first `budget` occupied positions
     sel_ok = order < m
     sel = jnp.minimum(order, m - 1)
+    # (ray-major order already has spatial locality; cell-sorting measured
+    # neutral here — see query_grid(sort_queries=...) for random batches)
 
     x_c = x[sel]
     idx_c, _ = query_grid(x_c, scene.table, scene.spec, k=k)
