@@ -112,6 +112,7 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
         ray_dirs[:, None, :], (n_rays, S, 3)
     ).reshape(-1, 3)
 
+    colors = None
     if cfg.entangled:
         sdf_flat, grad_flat, colors_flat = field.entangled_sdf_grad_color(
             tp, tp["feats"], scene.points, flat_idx, flat_valid, flat_x,
@@ -123,11 +124,6 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
             frozen, tp["feats_geometry"], scene.points, flat_idx,
             flat_valid, flat_x, cfg.rbf,
         )
-        colors = field.aggregate_color(
-            tp, tp["feats_color"], scene.points, flat_idx, flat_valid,
-            flat_x, flat_dirs, cfg.rbf, cfg.pos_multires,
-            cfg.view_multires,
-        ).reshape(n_rays, S, 3)
     sdf = sdf_flat.reshape(n_rays, S)
     gradients = grad_flat.reshape(n_rays, S, 3)
 
@@ -135,10 +131,41 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     beta = get_beta(beta_param, cfg.density.beta_min)
     density = jnp.where(valid_pt, laplace_density(sdf, beta), 0.0)
     weights = render_weights(deltas, density)           # [R, S]
-
-    colors = jnp.where(valid_pt[..., None], colors, 0.0)
-    rgb = jnp.sum(weights[..., None] * colors, axis=1)  # [R, 3]
     acc = jnp.sum(weights, -1, keepdims=True)
+
+    W = cfg.color_top_samples
+    if colors is not None:
+        colors = jnp.where(valid_pt[..., None], colors, 0.0)
+        rgb = jnp.sum(weights[..., None] * colors, axis=1)
+    elif 0 < W < S:
+        # quadrature subsampling: color only the top-W samples per ray by
+        # rendering weight, rescaled to preserve the total weight mass
+        # (the reference colors every sample; the dropped tail carries
+        # negligible mass once sampling concentrates)
+        w_masked = jnp.where(valid_pt, weights, -1.0)
+        w_top, top = jax.lax.top_k(w_masked, W)          # [R, W]
+        w_top = jnp.maximum(w_top, 0.0)
+        t_idx = jnp.take_along_axis(nbr_idx, top[..., None], axis=1)
+        t_valid = jnp.take_along_axis(nbr_valid, top[..., None], axis=1)
+        t_x = jnp.take_along_axis(shading_pts, top[..., None], axis=1)
+        t_dirs = jnp.broadcast_to(ray_dirs[:, None, :], (n_rays, W, 3))
+        colors_w = field.aggregate_color(
+            tp, tp["feats_color"], scene.points,
+            t_idx.reshape(-1, K), t_valid.reshape(-1, K),
+            t_x.reshape(-1, 3), t_dirs.reshape(-1, 3),
+            cfg.rbf, cfg.pos_multires, cfg.view_multires,
+        ).reshape(n_rays, W, 3)
+        mass_top = jnp.sum(w_top, -1, keepdims=True)
+        rgb = jnp.sum(w_top[..., None] * colors_w, axis=1)
+        rgb = rgb * (acc / jnp.maximum(mass_top, 1e-10))
+    else:
+        colors = field.aggregate_color(
+            tp, tp["feats_color"], scene.points, flat_idx, flat_valid,
+            flat_x, flat_dirs, cfg.rbf, cfg.pos_multires,
+            cfg.view_multires,
+        ).reshape(n_rays, S, 3)
+        colors = jnp.where(valid_pt[..., None], colors, 0.0)
+        rgb = jnp.sum(weights[..., None] * colors, axis=1)
     depth = jnp.sum(weights * z_sel, -1, keepdims=True) / (acc + 1e-8)
 
     ray_mask = jnp.any(valid_pt, axis=-1)

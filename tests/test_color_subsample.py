@@ -1,0 +1,65 @@
+"""color_top_samples quadrature subsampling path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spurfies_tpu.config import ModelConfig, SamplerConfig
+from spurfies_tpu.data.synthetic import make_synthetic_scene
+from spurfies_tpu.model.networks import init_model_params
+from spurfies_tpu.model.neural_points import build_scene
+from spurfies_tpu.model.renderer import render_rays
+
+
+def _setup(top):
+    cfg = ModelConfig(
+        max_shading_pts=24, color_top_samples=top,
+        ray_sampler=SamplerConfig(near=0.5, far=3.0, n_samples=16,
+                                  n_samples_eval=32, n_samples_extra=8),
+    )
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(3000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = (0.5 * v).astype(np.float32)
+    scene, latents = build_scene(jax.random.PRNGKey(0), pts, cfg,
+                                 rng.uniform(0, 255, (3000, 3)))
+    params = init_model_params(jax.random.PRNGKey(1), cfg)
+    params["train"].update(latents)
+    _, _, views = make_synthetic_scene(n_points=100, n_views=1,
+                                       img_res=(12, 12))
+    inputs = {
+        "uv": jnp.asarray(views["uv"])[None],
+        "pose": jnp.asarray(views["pose"][0])[None],
+        "intrinsics": jnp.asarray(views["intrinsics"][0])[None],
+    }
+    return cfg, scene, params, inputs
+
+
+@pytest.mark.slow
+def test_subsampled_close_to_exact_and_differentiable():
+    cfg0, scene, params, inputs = _setup(0)
+    out0 = render_rays(params, scene, inputs, jax.random.PRNGKey(0), cfg0,
+                       train=True, iters=1)
+    cfg1, _, _, _ = _setup(16)
+    out1 = render_rays(params, scene, inputs, jax.random.PRNGKey(0), cfg1,
+                       train=True, iters=1)
+
+    m = np.asarray(out0["ray_mask"])
+    r0 = np.asarray(out0["rgb_values"])[m]
+    r1 = np.asarray(out1["rgb_values"])[m]
+    # same sampler keys -> same weights; top-16 of 24 with rescale must be
+    # close to the exact quadrature
+    assert np.abs(r1 - r0).mean() < 0.05
+    assert np.all(np.isfinite(r1))
+
+    def loss(tp):
+        p = {"frozen": params["frozen"], "train": tp}
+        out = render_rays(p, scene, inputs, jax.random.PRNGKey(0), cfg1,
+                          train=True, iters=1)
+        return jnp.mean(out["rgb_values"] ** 2)
+
+    g = jax.grad(loss)(params["train"])
+    assert np.abs(np.asarray(g["feats_color"])).max() > 0
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
