@@ -54,6 +54,13 @@ class ModelConfig:
     rbf: float = 45.0                 # RBF sharpness (hardcoded, model :42)
     vox_res: int = 300                # point-cloud voxel downsample res
     max_shading_pts: int = 80
+    render_budget_frac: float = 0.0   # >0: cap render-path SDF evals at
+    #                                   frac*R*S valid shading points.
+    #                                   GATE FAILED at 0.5 (converged scenes
+    #                                   exceed the budget -> dropped
+    #                                   geometry, 10dB PSNR loss) — keep 0
+    #                                   unless the scene's valid fraction is
+    #                                   known to be low.
     color_top_samples: int = 48       # >0: run the color MLP only on the
     #                                   top-K samples per ray by rendering
     #                                   weight, rescaled to preserve total

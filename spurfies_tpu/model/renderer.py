@@ -119,6 +119,34 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
             flat_dirs,
         )
         colors = colors_flat.reshape(n_rays, S, 3)
+    elif cfg.render_budget_frac > 0:
+        # global static-budget compaction of valid shading points (the
+        # per-ray max_shading_pts cap already ran; this bounds total MLP
+        # work — overflow points render as empty space)
+        m = flat_x.shape[0]
+        budget = max(int(m * cfg.render_budget_frac) // 128 * 128, 128)
+        any_v = sel_valid.reshape(-1)
+        order = jnp.sort(
+            jnp.where(any_v, jnp.arange(m, dtype=jnp.int32), m)
+        )[:budget]
+        bsel_ok = order < m
+        bsel = jnp.minimum(order, m - 1)
+        s_c, g_c = field.sdf_and_grad(
+            frozen, tp["feats_geometry"], scene.points, flat_idx[bsel],
+            flat_valid[bsel] & bsel_ok[:, None], flat_x[bsel], cfg.rbf,
+        )
+        scatter_to = jnp.where(bsel_ok, bsel, m)
+        sdf_flat = jnp.full((m,), field.SDF_FILLER).at[scatter_to].set(
+            jnp.where(bsel_ok, s_c, field.SDF_FILLER), mode="drop"
+        )
+        grad_flat = jnp.zeros((m, 3)).at[scatter_to].set(
+            jnp.where(bsel_ok[:, None], g_c, 0.0), mode="drop"
+        )
+        # points dropped by the budget must not render
+        covered = jnp.zeros((m,), dtype=bool).at[scatter_to].set(
+            bsel_ok, mode="drop"
+        )
+        sel_valid = sel_valid & covered.reshape(n_rays, S)
     else:
         sdf_flat, grad_flat = field.sdf_and_grad(
             frozen, tp["feats_geometry"], scene.points, flat_idx,
