@@ -253,6 +253,8 @@ class Trainer:
         return self.state
 
     # ---- checkpointing (orbax) ------------------------------------------
+    # The reference persists both ModelParameters and OptimizerParameters
+    # (train.py:293-328); we store params+frozen+step+opt_state together.
     def save_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
@@ -260,6 +262,7 @@ class Trainer:
             "params": self.state.params,
             "frozen": self.frozen,
             "step": self.state.step,
+            "opt_state": self.state.opt_state,
         }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
@@ -271,10 +274,17 @@ class Trainer:
             "params": self.state.params,
             "frozen": self.frozen,
             "step": self.state.step,
+            "opt_state": self.state.opt_state,
         }
-        restored = ckptr.restore(path, target)
+        try:
+            restored = ckptr.restore(path, target)
+            opt_state = restored["opt_state"]
+        except Exception:
+            # older checkpoints without optimizer state
+            target.pop("opt_state")
+            restored = ckptr.restore(path, target)
+            opt_state = self.tx.init(restored["params"])
         self.frozen = restored["frozen"]
-        opt_state = self.tx.init(restored["params"])
         self.state = TrainState(restored["params"], opt_state,
                                 restored["step"])
         self.load_frozen(self.frozen)
