@@ -75,8 +75,9 @@ def main():
     if len(verts):
         r = np.linalg.norm(verts, axis=-1)
         mesh_err = float(np.mean(np.abs(r - radius)))
+        mesh_bias = float(np.mean(r - radius))   # signed: offset vs shell
     else:
-        mesh_err = float("nan")
+        mesh_err = mesh_bias = float("nan")
 
     # NVS on train view 0
     h = w = 128
@@ -99,6 +100,7 @@ def main():
         "final_rgb_loss": losses[-1][1] if losses else None,
         "mesh_verts": int(len(verts)),
         "mesh_mean_radius_err": round(mesh_err, 5),
+        "mesh_signed_bias": round(mesh_bias, 5),
         "masked_psnr": round(psnr, 2),
     }, indent=2))
 
