@@ -2,10 +2,14 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no throughput numbers (BASELINE.md); the baseline
-constant below is the estimated PyTorch+CUDA reference rate: 100k steps x
-1024 rays in ~7h single-GPU => ~4.0e3 rays/sec (see BASELINE.md "Training
-budget" row — re-derive when reference hardware timings are available).
+The reference publishes no throughput numbers; the baseline constant below
+is DERIVED FROM MEASUREMENT (BASELINE.md "Measured baseline (round 2)"):
+the reference's own train-step code was run on CPU via
+scripts/bench_reference.py (1.159 TFLOP/step by FlopCounterMode, 1981 aten
+ops/step), then extrapolated to the reference's documented hardware class
+(torch 2.0 fp32 eager, RTX 3090/A100) with a matmul + eager-overhead + kNN
+model => ~8-11k rays/s; 8.0e3 is the central value, generous to the
+reference.
 
 Production-shaped workload: 1024 rays/step, error-bound sampler fast=1
 (training setting, train.py:345), 128-sample probe, k=8 neighbors,
@@ -18,7 +22,7 @@ import time
 import jax
 import numpy as np
 
-BASELINE_RAYS_PER_SEC = 4.0e3
+BASELINE_RAYS_PER_SEC = 8.0e3
 
 
 def main():

@@ -87,13 +87,24 @@ def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
         log.info(f"{scan}: mesh {len(verts)} verts -> {mesh_path}")
 
     if do_render:
+        from spurfies_tpu.eval.lpips_jax import make_lpips_fn
         from spurfies_tpu.eval.nvs import evaluate_views
+
+        lpips_fn = make_lpips_fn()  # None when vgg/lpips weights absent
+        if lpips_fn is None:
+            log.info(f"{scan}: LPIPS weights not found under ckpt/ — "
+                     "reporting PSNR/SSIM only")
         res = evaluate_views(trainer.render_image, trainer.state.params, sd,
-                             out_dir=out_dir)
+                             out_dir=out_dir, lpips_fn=lpips_fn)
         summary["nvs"] = {k: res[k] for k in
                           ("mean_psnr", "mean_ssim", "psnr", "ssim")}
+        if "mean_lpips" in res:
+            summary["nvs"]["lpips"] = res["lpips"]
+            summary["nvs"]["mean_lpips"] = res["mean_lpips"]
         log.info(f"{scan}: PSNR {res['mean_psnr']:.2f} "
-                 f"SSIM {res['mean_ssim']:.4f}")
+                 f"SSIM {res['mean_ssim']:.4f}"
+                 + (f" LPIPS {res['mean_lpips']:.4f}"
+                    if "mean_lpips" in res else ""))
 
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -51,6 +51,23 @@ def run_inference(ckpt: str, image_paths: list, img_size=(384, 512)):
     return edges, obs
 
 
+def fuse_view_confidence(edges, conf_i, conf_j, n_views: int) -> np.ndarray:
+    """Per-view pixel confidence ``[V, P]`` from per-edge confidences.
+
+    Edge e = (i, j) predicts view i's map with ``conf_i[e]`` and view j's
+    with ``conf_j[e]``; view v's confidence is the elementwise max over
+    every edge slot where v appears (matching DUSt3R's im_conf fusion,
+    reference dust3r_inference.py:107-140).
+    """
+    conf_i = np.asarray(conf_i)
+    conf_j = np.asarray(conf_j)
+    out = np.zeros((n_views, conf_i.shape[1]), conf_i.dtype)
+    for e, (i, j) in enumerate(edges):
+        out[i] = np.maximum(out[i], conf_i[e])
+        out[j] = np.maximum(out[j], conf_j[e])
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="own_data",
@@ -90,10 +107,13 @@ def main(argv=None):
     )
     log.info(f"alignment loss {res['loss']:.4f}")
 
-    # fused cloud + per-point confidence (max over views at each point)
+    # fused cloud [V*P, 3] + per-point confidence: view v's points carry
+    # the max confidence over the edge slots where view v appears (DUSt3R's
+    # per-image conf is the max over that image's edge predictions,
+    # dust3r_inference.py:107-140)
     cloud = res["points"].reshape(-1, 3)
-    conf = np.maximum(conf_i.max(0), conf_j.max(0))
-    conf = np.tile(conf, len(image_paths))[: len(cloud)]
+    conf = fuse_view_confidence(edges, conf_i, conf_j, len(image_paths))
+    conf = conf.reshape(-1)
 
     pts, cols, poses, scale, center = prepare_scene(
         cloud, None, conf=conf, conf_threshold=args.conf,

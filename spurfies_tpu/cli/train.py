@@ -113,12 +113,20 @@ def train_scene(cfg: Config, scan: str, resume: bool = False):
     h, w = sd.img_res
     start = int(trainer.state.step)
 
-    def callback(step, metrics):
-        writer.scalars(step, metrics)
-        if step % 1000 < tcfg.render_freq and step // tcfg.render_freq != (
-            step - tcfg.render_freq
-        ) // tcfg.render_freq:
-            pass  # render handled in the window loop below
+    # In-training eval renders run at 1/4 resolution like the reference's
+    # plot dataset (train.py:243-257,399) — a full-res render through the
+    # 5-iteration sampler every render_freq steps is a 16x wall-clock tax.
+    vstride = 4
+    vh = (h + vstride - 1) // vstride
+    vw = (w + vstride - 1) // vstride
+    val_uv = np.ascontiguousarray(
+        np.asarray(sd.uv).reshape(h, w, 2)[::vstride, ::vstride]
+    ).reshape(-1, 2)
+    val_gt = np.asarray(sd.train.rgb[0]).reshape(h, w, 3)[::vstride, ::vstride]
+    val_mask = (
+        np.asarray(sd.train.mask[0]).reshape(h, w, 3)[::vstride, ::vstride,
+                                                      0] > 0.5
+    )
 
     done = start
     window = min(tcfg.render_freq, 500)
@@ -130,19 +138,17 @@ def train_scene(cfg: Config, scan: str, resume: bool = False):
         if done % tcfg.render_freq < window or done >= tcfg.opt_steps:
             import jax
             out = trainer.render_image(
-                trainer.state.params, sd.uv, trainer.views["pose"][0],
+                trainer.state.params, val_uv, trainer.views["pose"][0],
                 trainer.views["intrinsics"][0], jax.random.PRNGKey(0),
             )
-            pred = out["rgb_values"].reshape(h, w, 3)
-            gt = np.asarray(sd.train.rgb[0]).reshape(h, w, 3)
-            mask = np.asarray(sd.train.mask[0]).reshape(h, w, 3)[..., 0] > 0.5
-            mse = float(np.mean(((pred - gt) ** 2)[mask]))
+            pred = out["rgb_values"].reshape(vh, vw, 3)
+            mse = float(np.mean(((pred - val_gt) ** 2)[val_mask]))
             writer.scalars(done, {"psnr": -10 * np.log10(mse + 1e-12)},
                            prefix="val")
             from spurfies_tpu.eval.plots import triptych
             panel = triptych(
-                pred, out["depth_values"].reshape(h, w),
-                out["normal_map"].reshape(h, w, 3), gt=gt,
+                pred, out["depth_values"].reshape(vh, vw),
+                out["normal_map"].reshape(vh, vw, 3), gt=val_gt,
             )
             writer.image(done, "val/triptych", panel)
             log.info(f"step {done}: val psnr "

@@ -34,3 +34,17 @@ def simple_density(sdf: jnp.ndarray) -> jnp.ndarray:
     ``sdf + noise``); keeping this pure keeps it jit-friendly.
     """
     return jnp.maximum(sdf, 0.0)
+
+
+def single_variance(variance_param: jnp.ndarray) -> jnp.ndarray:
+    """NeuS variance: ``exp(10 * v)`` clipped to [1e-6, 1e6] (reference
+    SingleVarianceNetwork.get_variance, density.py:49-66; init the raw
+    parameter to ``init_val``)."""
+    return jnp.clip(jnp.exp(variance_param * 10.0), 1e-6, 1e6)
+
+
+def single_variance_forward(x: jnp.ndarray,
+                            variance_param: jnp.ndarray) -> jnp.ndarray:
+    """Reference SingleVarianceNetwork.forward: a ``[len(x), 1]`` tensor of
+    the (unclipped) variance, broadcast per query point (density.py:60-62)."""
+    return jnp.ones((x.shape[0], 1), x.dtype) * jnp.exp(variance_param * 10.0)

@@ -91,3 +91,56 @@ def make_synthetic_scene(n_points=4000, n_views=3, img_res=(64, 64),
         "intrinsics": np.stack([K] * n_views),
     }
     return pts, cols, views
+
+
+def export_synthetic_own_data(root, scan="sphere", **scene_kwargs):
+    """Write the synthetic scene to disk in own-data layout
+    (``<root>/own_data/<scan>/{image/, <scan>.json, <scan>.ply}`` — the
+    format of reference dust3r_inference_own.py:161-181,262-267) so the
+    full CLI chain (train -> evaluate) can be exercised without real data.
+
+    Returns (pts, cols, views) like make_synthetic_scene.
+    """
+    import json
+    import os
+
+    import imageio.v2 as imageio
+
+    from spurfies_tpu.data.ply import save_ply
+
+    pts, cols, views = make_synthetic_scene(**scene_kwargs)
+    h, w = views["rgb"].shape[1:2][0], None
+    n_views = views["rgb"].shape[0]
+    # recover img_res from uv grid extents
+    uv = views["uv"]
+    w = int(uv[:, 0].max()) + 1
+    h = int(uv[:, 1].max()) + 1
+
+    inst = os.path.join(root, "own_data", scan)
+    img_dir = os.path.join(inst, "image")
+    os.makedirs(img_dir, exist_ok=True)
+
+    K = views["intrinsics"][0]
+    meta = {
+        "fl_x": float(K[0, 0]), "fl_y": float(K[1, 1]),
+        "cx": float(K[0, 2]), "cy": float(K[1, 2]),
+        "h": h, "w": w,
+        "frames": [
+            {"file_path": f"image/{i:03d}.png",
+             "transform_matrix": views["pose"][i].tolist()}
+            for i in range(n_views)
+        ],
+    }
+    with open(os.path.join(inst, f"{scan}.json"), "w") as f:
+        json.dump(meta, f)
+
+    for i in range(n_views):
+        img = views["rgb"][i].reshape(h, w, 3)
+        imageio.imwrite(
+            os.path.join(img_dir, f"{i:03d}.png"),
+            (np.clip(img, 0, 1) * 255).astype(np.uint8),
+        )
+
+    save_ply(os.path.join(inst, f"{scan}.ply"), pts,
+             cols.astype(np.uint8))
+    return pts, cols, views

@@ -16,14 +16,22 @@ from spurfies_tpu.eval.ssim import ssim as ssim_fn
 
 
 def composite_foreground(img: np.ndarray, mask: np.ndarray,
-                         bg: float = 0.0) -> np.ndarray:
-    """Foreground-composite like the reference masks both pred and gt
-    (eval_spurfies.py:243-256)."""
+                         bg: float = 1.0) -> np.ndarray:
+    """Foreground-composite onto WHITE like the reference
+    (``rgb * mask + (1 - mask)``, eval_spurfies.py:236-237)."""
     return np.where(mask > 0.5, img, bg)
 
 
+def quantize_png(img: np.ndarray) -> np.ndarray:
+    """8-bit PNG roundtrip: the reference scores metrics on RELOADED PNGs
+    (``np.array(Image.open(...)) / 255.0``, eval_spurfies.py:229-233), so
+    the prediction is quantized before scoring.  Matching that exactly
+    avoids a small systematic PSNR bias vs the reference protocol."""
+    return np.round(np.clip(img, 0.0, 1.0) * 255.0) / 255.0
+
+
 def evaluate_views(render_image, params, scene_data, out_dir=None,
-                   lpips_fn=None, save_images=True):
+                   lpips_fn=None, save_images=True, quantize=True):
     """Render + score every eval view.
 
     Args:
@@ -31,6 +39,8 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
         rgb_values/normal_map/depth_values (from train.trainer.make_render_fn).
       scene_data: data.scene_data.SceneData (eval views used).
       lpips_fn: optional callable(img1 [H,W,3], img2) -> float.
+      quantize: score the 8-bit PNG roundtrip of the prediction (the
+        reference protocol, eval_spurfies.py:229-233); False scores floats.
 
     Returns:
       dict with per-view and mean psnr/ssim (+lpips when available).
@@ -51,6 +61,8 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
             jax.random.PRNGKey(0),
         )
         pred = np.asarray(out["rgb_values"]).reshape(h, w, 3)
+        if quantize:
+            pred = quantize_png(pred)
         gt = np.asarray(vs.rgb[i]).reshape(h, w, 3)
         mask = np.asarray(vs.mask[i]).reshape(h, w, 3)
 

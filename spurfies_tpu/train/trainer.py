@@ -47,12 +47,20 @@ class TrainState:
         return cls(*children)
 
 
-def make_train_step(cfg: Config, tx, use_local: bool = False):
+def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
     """Build the jitted train step.
 
     Everything data-sized (scene tables, view stacks, frozen nets, MVS
     features) is a traced ARGUMENT, never a closure constant — baked-in
     constants of tens of MB make XLA compiles take minutes.
+
+    With ``mesh`` (cfg.train.data_parallel > 1), the sampled batch's ray
+    axis gets a sharding constraint along mesh axis ``data`` INSIDE the
+    jitted (scanned) step: params/scene replicate, rays split, and XLA
+    inserts the gradient all-reduce over ICI.  Pixel sampling is keyed
+    identically on every chip, so single- and multi-chip runs see the same
+    batches (tests/test_parallel.py equivalence).  The reference is strictly
+    single-GPU (SURVEY §2.2) — this axis is new capability.
 
     The returned window fn signature:
       ``train_window(state, bundle, key, n_steps)`` where bundle =
@@ -63,6 +71,25 @@ def make_train_step(cfg: Config, tx, use_local: bool = False):
     lcfg = cfg.loss
     n_pix = cfg.train.num_pixels
     fast = cfg.train.fast_iters
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def constrain_batch(batch):
+            cs = jax.lax.with_sharding_constraint
+            batch["inputs"]["uv"] = cs(
+                batch["inputs"]["uv"], NamedSharding(mesh, P(None, "data"))
+            )
+            batch["gt"]["rgb"] = cs(
+                batch["gt"]["rgb"], NamedSharding(mesh, P("data"))
+            )
+            batch["gt"]["mask"] = cs(
+                batch["gt"]["mask"], NamedSharding(mesh, P("data"))
+            )
+            return batch
+    else:
+        def constrain_batch(batch):
+            return batch
 
     def loss_fn(tp, bundle, batch, key):
         scene = bundle["scene"]
@@ -117,6 +144,7 @@ def make_train_step(cfg: Config, tx, use_local: bool = False):
 
     def train_step(bundle, state: TrainState, key):
         batch = sample_batch(bundle["views"], jax.random.fold_in(key, 0))
+        batch = constrain_batch(batch)
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, bundle, batch, jax.random.fold_in(key, 1)
         )
@@ -135,18 +163,27 @@ def make_train_step(cfg: Config, tx, use_local: bool = False):
     return train_window, train_step
 
 
-def make_render_fn(cfg: Config, chunk: int = 4096):
+def make_render_fn(cfg: Config, chunk: int = 4096, mesh=None):
     """Full-image eval renderer (reference render_step, train.py:399-472).
 
     Renders in fixed ``chunk``-ray slices under one jit; returns stacked
     dense outputs for PSNR / plotting.  scene/frozen are traced args (see
-    make_train_step note on closure constants).
+    make_train_step note on closure constants).  With ``mesh``, each
+    chunk's rays are sharded across the mesh (multi-chip eval render).
     """
     mcfg = cfg.model
     iters = mcfg.ray_sampler.max_total_iters
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
     @jax.jit
     def render_chunk(tp, scene, frozen, inputs, key):
+        if mesh is not None:
+            inputs = dict(inputs)
+            inputs["uv"] = jax.lax.with_sharding_constraint(
+                inputs["uv"], NamedSharding(mesh, P(None, "data"))
+            )
         params = {"frozen": frozen, "train": tp}
         out = render_rays(params, scene, inputs, key, mcfg, train=False,
                           iters=iters)
@@ -194,11 +231,38 @@ class Trainer:
         params["train"].update(latents)
         self.frozen = params["frozen"]
 
+        # optional ray-sharding mesh (train.data_parallel chips; SURVEY §5
+        # "distributed backend" — params replicated, rays split over ICI)
+        self.mesh = None
+        dp = cfg.train.data_parallel
+        if dp > 1:
+            from spurfies_tpu.parallel.mesh import make_mesh
+            if len(jax.devices()) < dp:
+                raise ValueError(
+                    f"train.data_parallel={dp} but only "
+                    f"{len(jax.devices())} devices visible"
+                )
+            if cfg.train.num_pixels % dp:
+                raise ValueError(
+                    f"train.num_pixels={cfg.train.num_pixels} must be a "
+                    f"multiple of data_parallel={dp}"
+                )
+            self.mesh = make_mesh(dp)
+
         self.views = {k: jnp.asarray(v) for k, v in views.items()}
         self.tx = build_optimizer(cfg.train)
         opt_state = self.tx.init(params["train"])
         self.state = TrainState(params["train"], opt_state,
                                 jnp.asarray(0, dtype=jnp.int32))
+        if self.mesh is not None:
+            # replicate everything the step closes over; the in-step
+            # constraint splits the ray axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            self.views = jax.device_put(self.views, rep)
+            self.scene = jax.device_put(self.scene, rep)
+            self.frozen = jax.device_put(self.frozen, rep)
+            self.state = jax.device_put(self.state, rep)
         use_local = (local_bundle is not None
                      and cfg.loss.local_weight > 0)
         self.local_ctx = None
@@ -215,9 +279,9 @@ class Trainer:
                 "center": jnp.asarray(local_bundle.center),
             }
         self.train_window, self.train_step = make_train_step(
-            cfg, self.tx, use_local=use_local
+            cfg, self.tx, use_local=use_local, mesh=self.mesh
         )
-        self._render = make_render_fn(cfg)
+        self._render = make_render_fn(cfg, mesh=self.mesh)
 
     @property
     def bundle(self):
@@ -231,12 +295,20 @@ class Trainer:
         return self._render(tp, self.scene, self.frozen, uv, pose,
                             intrinsics, key)
 
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(tree, NamedSharding(self.mesh, P()))
+
     def load_frozen(self, frozen_params):
         """Install pretrained local-prior weights (reference train.py:124-143).
 
         frozen is a traced arg of the jitted step, so this does NOT
         recompile."""
-        self.frozen = jax.tree_util.tree_map(jnp.asarray, frozen_params)
+        self.frozen = self._replicate(
+            jax.tree_util.tree_map(jnp.asarray, frozen_params)
+        )
 
     def run(self, n_steps: int, window: int = 100, callback=None):
         """Run n_steps; callback(step, metrics) per window."""
@@ -285,6 +357,7 @@ class Trainer:
             restored = ckptr.restore(path, target)
             opt_state = self.tx.init(restored["params"])
         self.frozen = restored["frozen"]
-        self.state = TrainState(restored["params"], opt_state,
-                                restored["step"])
+        self.state = self._replicate(
+            TrainState(restored["params"], opt_state, restored["step"])
+        )
         self.load_frozen(self.frozen)

@@ -59,6 +59,35 @@ class TestDensity:
             laplace_density(jnp.asarray(s), jnp.asarray(b)), expected, rtol=1e-5
         )
 
+    def test_abs_density(self):
+        # reference AbsDensity (density.py:33-35): density = |sdf|
+        from spurfies_tpu.core.density import abs_density
+        s = jnp.array([-2.0, -0.5, 0.0, 0.5, 2.0])
+        np.testing.assert_allclose(abs_density(s), np.abs(np.asarray(s)))
+
+    def test_simple_density(self):
+        # reference SimpleDensity (density.py:38-47): density = relu(sdf)
+        from spurfies_tpu.core.density import simple_density
+        s = jnp.array([-2.0, -0.5, 0.0, 0.5, 2.0])
+        np.testing.assert_allclose(
+            simple_density(s), np.maximum(np.asarray(s), 0.0)
+        )
+
+    def test_single_variance(self):
+        # golden vs reference SingleVarianceNetwork (density.py:49-66)
+        # torch: exp(0.3*10).clip(1e-6,1e6) = 20.08553695678711
+        from spurfies_tpu.core.density import (
+            single_variance, single_variance_forward,
+        )
+        v = jnp.asarray(0.3)
+        np.testing.assert_allclose(single_variance(v), 20.085537, rtol=1e-6)
+        # clipping
+        np.testing.assert_allclose(single_variance(jnp.asarray(-5.0)), 1e-6)
+        np.testing.assert_allclose(single_variance(jnp.asarray(5.0)), 1e6)
+        out = single_variance_forward(jnp.zeros((5, 3)), v)
+        assert out.shape == (5, 1)
+        np.testing.assert_allclose(out, 20.085537, rtol=1e-6)
+
 
 class TestQuadrature:
     def test_opaque_wall(self):

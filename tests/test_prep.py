@@ -79,3 +79,28 @@ def test_prepare_scene_end_to_end(rng):
     )
     assert out.min() >= -1.001 and out.max() <= 1.001
     assert len(out) < 2000
+
+
+def test_fuse_view_confidence_asymmetric():
+    """View v's points must carry view v's own confidences (the round-1
+    bug maxed different views' maps together and tiled view 0's vector)."""
+    from spurfies_tpu.cli.prep_pointcloud import fuse_view_confidence
+
+    # 3 views, complete graph; distinct constant conf per (edge, slot)
+    edges = [(0, 1), (0, 2), (1, 2)]
+    P = 4
+    conf_i = np.stack([
+        np.full(P, 5.0),    # edge (0,1): view 0 seen at 5
+        np.full(P, 1.0),    # edge (0,2): view 0 seen at 1
+        np.full(P, 9.0),    # edge (1,2): view 1 seen at 9
+    ])
+    conf_j = np.stack([
+        np.full(P, 2.0),    # edge (0,1): view 1 seen at 2
+        np.full(P, 7.0),    # edge (0,2): view 2 seen at 7
+        np.full(P, 3.0),    # edge (1,2): view 2 seen at 3
+    ])
+    out = fuse_view_confidence(edges, conf_i, conf_j, 3)
+    assert out.shape == (3, P)
+    np.testing.assert_allclose(out[0], 5.0)   # max(5, 1)
+    np.testing.assert_allclose(out[1], 9.0)   # max(2, 9)
+    np.testing.assert_allclose(out[2], 7.0)   # max(7, 3)
