@@ -53,7 +53,20 @@ def eval_scan(scan: int, mesh_path: str, data_root: str, gt_root: str,
                 continue
             for j, vid in enumerate(vs.ids):
                 mask_by_id[vid] = vs.mask[j].reshape(h, w, 3)[..., 0]
-        used_mats = [world_mats[i] for i in sorted(mask_by_id)]
+        # world_mats project at the ORIGINAL capture resolution; the loader
+        # resizes masks to img_res — rescale the projection to match
+        # (pixel scaling = diag(sx, sy, 1) @ P)
+        from spurfies_tpu.data.scene_data import glob_images, load_image
+        img0 = load_image(glob_images(os.path.join(
+            data_root, "dtu", f"scan{scan}", "image"))[0])
+        sy, sx = h / img0.shape[0], w / img0.shape[1]
+        pix_scale = np.diag([sx, sy, 1.0])
+        used_mats = [
+            np.concatenate(
+                [pix_scale @ world_mats[i][:3], world_mats[i][3:]], axis=0
+            )
+            for i in sorted(mask_by_id)
+        ]
         masks = [mask_by_id[i] for i in sorted(mask_by_id)]
         verts, faces = clean_mesh(verts, faces, used_mats, masks, (h, w))
         log.info(f"scan{scan}: cleaned -> {len(verts)} verts")

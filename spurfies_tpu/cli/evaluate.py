@@ -28,7 +28,8 @@ DEFAULT_SCANS = {
 
 
 def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
-               resolution: int = 512, out_root: str = "results"):
+               resolution: int = 512, out_root: str = "results",
+               max_views=None):
     import jax
     from spurfies_tpu.model import field
     from spurfies_tpu.train.trainer import Trainer
@@ -63,7 +64,7 @@ def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
             return field.sdf_probe(
                 params["frozen"], params["train"]["feats_geometry"],
                 trainer.scene, jnp.asarray(x), cfg.model.k, cfg.model.r,
-                cfg.model.rbf,
+                cfg.model.rbf, need_grad=False,
             )
 
         bbs_path = os.path.join(cfg.dataset.data_dir_root, "dtu", "bbs.npz")
@@ -95,7 +96,8 @@ def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
             log.info(f"{scan}: LPIPS weights not found under ckpt/ — "
                      "reporting PSNR/SSIM only")
         res = evaluate_views(trainer.render_image, trainer.state.params, sd,
-                             out_dir=out_dir, lpips_fn=lpips_fn)
+                             out_dir=out_dir, lpips_fn=lpips_fn,
+                             max_views=max_views)
         summary["nvs"] = {k: res[k] for k in
                           ("mean_psnr", "mean_ssim", "psnr", "ssim")}
         if "mean_lpips" in res:
@@ -118,6 +120,8 @@ def main(argv=None):
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--rendering", action="store_true")
     ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--max-views", type=int, default=None,
+                    help="cap the number of eval views rendered")
     ap.add_argument("--out", default="results")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -132,7 +136,7 @@ def main(argv=None):
     )
     summaries = [
         eval_scene(cfg, s.strip(), args.mesh, args.rendering,
-                   args.resolution, args.out)
+                   args.resolution, args.out, max_views=args.max_views)
         for s in scans
     ]
     if any("nvs" in s for s in summaries):

@@ -61,6 +61,13 @@ class ModelConfig:
     #                                   geometry, 10dB PSNR loss) — keep 0
     #                                   unless the scene's valid fraction is
     #                                   known to be low.
+    pair_budget_frac: float = 0.0     # >0: compact the [R*S, K] pair grid
+    #                                   to its first frac*R*S*K valid pairs
+    #                                   before the frozen SDF MLP (invalid
+    #                                   slots are ~half the dense grid).
+    #                                   Exact when nothing overflows;
+    #                                   overflow shrinks effective k for
+    #                                   tail points (no SDF bias).
     color_top_samples: int = 48       # >0: run the color MLP only on the
     #                                   top-K samples per ray by rendering
     #                                   weight, rescaled to preserve total

@@ -144,3 +144,78 @@ def export_synthetic_own_data(root, scan="sphere", **scene_kwargs):
     save_ply(os.path.join(inst, f"{scan}.ply"), pts,
              cols.astype(np.uint8))
     return pts, cols, views
+
+
+def export_synthetic_dtu(root, scan_id=24, n_views=49, img_res=(48, 64),
+                         gt_root=None, **scene_kwargs):
+    """Write the synthetic scene to disk in the DTU layout so the full DTU
+    CLI chain (train -> evaluate --mesh --rendering -> eval_dtu) can be
+    dress-rehearsed without real data (reference layouts:
+    spurfies/datasets/dtu.py:59-145, eval_spurfies.py:140-157,
+    evals/eval_dtu.py:64).
+
+    Produces: scan{id}/{image/, cameras.npz, {id}.ply},
+    eval_mask/scan{id}/mask/*.png, bbs.npz, and (when gt_root is given)
+    Points/stl/stl{id:03d}_total.ply ground truth in world frame.
+
+    cameras.npz uses a non-trivial scale_mat (scale 2, offset x 0.05) so
+    the P = world_mat @ scale_mat decomposition path is exercised.
+    """
+    import os
+
+    import imageio.v2 as imageio
+
+    from spurfies_tpu.data.ply import save_ply
+
+    pts, cols, views = make_synthetic_scene(
+        n_views=n_views, img_res=img_res, **scene_kwargs
+    )
+    h, w = img_res
+
+    inst = os.path.join(root, "dtu", f"scan{scan_id}")
+    img_dir = os.path.join(inst, "image")
+    mask_dir = os.path.join(root, "dtu", "eval_mask", f"scan{scan_id}",
+                            "mask")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(mask_dir, exist_ok=True)
+
+    scale_mat = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float64)
+    scale_mat[0, 3] = 0.05
+
+    K = views["intrinsics"][0].astype(np.float64)
+    cam_arrays = {}
+    for i in range(n_views):
+        c2w = views["pose"][i].astype(np.float64)
+        w2c = np.linalg.inv(c2w)
+        P = K @ w2c                       # normalized-frame projection
+        world_mat = P @ np.linalg.inv(scale_mat)
+        cam_arrays[f"world_mat_{i}"] = world_mat
+        cam_arrays[f"scale_mat_{i}"] = scale_mat
+
+        img = views["rgb"][i].reshape(h, w, 3)
+        imageio.imwrite(os.path.join(img_dir, f"{i:06d}.png"),
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
+        m = views["mask"][i].reshape(h, w, 1)
+        imageio.imwrite(os.path.join(mask_dir, f"{i:03d}.png"),
+                        np.repeat((m * 255).astype(np.uint8), 3, axis=-1))
+
+    np.savez(os.path.join(inst, "cameras.npz"), **cam_arrays)
+    save_ply(os.path.join(inst, f"{scan_id}.ply"), pts,
+             cols.astype(np.uint8))
+
+    # world-frame bounding box of the (scaled) sphere for mesh extraction
+    radius = scene_kwargs.get("radius", 0.5)
+    c = scale_mat[:3, 3]
+    half = radius * 2.0 * 1.2
+    bb = np.stack([c - half, c + half]).astype(np.float64)
+    np.savez(os.path.join(root, "dtu", "bbs.npz"),
+             **{str(scan_id): bb.reshape(2, 3)})
+
+    if gt_root is not None:
+        stl_dir = os.path.join(gt_root, "Points", "stl")
+        os.makedirs(stl_dir, exist_ok=True)
+        gt_world = (pts @ scale_mat[:3, :3].T + scale_mat[:3, 3]).astype(
+            np.float32)
+        save_ply(os.path.join(stl_dir, f"stl{scan_id:03d}_total.ply"),
+                 gt_world, None)
+    return pts, cols, views

@@ -31,7 +31,8 @@ def quantize_png(img: np.ndarray) -> np.ndarray:
 
 
 def evaluate_views(render_image, params, scene_data, out_dir=None,
-                   lpips_fn=None, save_images=True, quantize=True):
+                   lpips_fn=None, save_images=True, quantize=True,
+                   max_views=None):
     """Render + score every eval view.
 
     Args:
@@ -50,12 +51,16 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
     h, w = scene_data.img_res
     uv = scene_data.uv
     vs = scene_data.eval or scene_data.train
-    results = {"psnr": [], "ssim": [], "lpips": [], "ids": list(vs.ids)}
+    n_views = len(vs.ids)
+    if max_views is not None:
+        n_views = min(n_views, int(max_views))
+    results = {"psnr": [], "ssim": [], "lpips": [],
+               "ids": list(vs.ids)[:n_views]}
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
-    for i in range(len(vs.ids)):
+    for i in range(n_views):
         out = render_image(
             params, uv, vs.pose[i], vs.intrinsics[i],
             jax.random.PRNGKey(0),

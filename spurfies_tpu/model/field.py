@@ -61,6 +61,30 @@ def set_geometry_dtype(dtype):
     GEOMETRY_DTYPE = dtype
 
 
+FUSED_MLP_MODE = "auto"   # "auto" (TPU only) | "on" (incl. interpret) | "off"
+FUSED_MLP_DTYPE = jnp.float32
+
+
+def set_fused_mlp(mode: str, dtype=None):
+    """Control the fused Pallas pair-MLP kernel (ops/pallas_mlp.py).
+
+    auto: real kernel on TPU, plain-XLA path elsewhere (tests force "on"
+    to exercise the interpreter).  dtype: kernel matmul precision.
+    """
+    global FUSED_MLP_MODE, FUSED_MLP_DTYPE
+    FUSED_MLP_MODE = mode
+    if dtype is not None:
+        FUSED_MLP_DTYPE = dtype
+
+
+def _use_fused() -> bool:
+    if FUSED_MLP_MODE == "on":
+        return True
+    if FUSED_MLP_MODE == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def pair_sdf(frozen, geo_feats: jnp.ndarray, x_pi: jnp.ndarray):
     """Per-(point, neighbor)-pair SDF: T(F_geometry([geo, x_pi]))."""
     field_in = jnp.concatenate([geo_feats, x_pi], axis=-1)
@@ -69,13 +93,16 @@ def pair_sdf(frozen, geo_feats: jnp.ndarray, x_pi: jnp.ndarray):
     return mlp_apply(frozen["T"], h, compute_dtype=dtype)[..., 0]
 
 
-def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
+def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf,
+                  need_grad: bool = True):
     """RBF-weighted SDF at positions ``x``.
 
     Args:
       geo_latents: ``[N, 32]``; points: ``[N, 3]``.
       idx: ``[M, K]`` neighbor indices (clipped >= 0 where invalid).
       valid: ``[M, K]``; x: ``[M, 3]``.
+      need_grad: False on stop-gradient probe paths (sampler importance,
+        mesh extraction) — picks the value-only fused kernel (half cost).
 
     Returns:
       (sdf ``[M]`` — SDF_FILLER where no valid neighbor, any ``[M]`` bool).
@@ -85,7 +112,20 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
     gfeat = geo_latents[safe_idx]                 # [M, K, 32]
     x_pi = x[:, None, :] - npos
     w, norm = rbf_weights(x_pi, valid, rbf)
-    s = pair_sdf(frozen, gfeat, x_pi)             # [M, K]
+    if _use_fused():
+        m, k = idx.shape
+        u = jnp.concatenate([gfeat, x_pi], axis=-1).reshape(m * k, -1)
+        if need_grad:
+            from spurfies_tpu.ops.pallas_mlp import (
+                pair_sdf_value_and_input_grad,
+            )
+            s, _ = pair_sdf_value_and_input_grad(frozen, u, FUSED_MLP_DTYPE)
+        else:
+            from spurfies_tpu.ops.pallas_mlp import pair_sdf_value
+            s = pair_sdf_value(frozen, u, FUSED_MLP_DTYPE)
+        s = s.reshape(m, k)
+    else:
+        s = pair_sdf(frozen, gfeat, x_pi)         # [M, K]
     s = jnp.where(valid, s, 0.0)
     has = norm[..., 0] > 0
     agg = jnp.sum(w * s, axis=-1) / jnp.where(has, norm[..., 0], 1.0)
@@ -93,7 +133,7 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf):
 
 
 def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
-              budget_frac: float | None = 0.25):
+              budget_frac: float | None = 0.25, need_grad: bool = True):
     """SDF at arbitrary world points (filler 1000 in empty space).
 
     One function replacing the reference's get_sdf_eval (:249-298),
@@ -115,7 +155,7 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
         idx, _ = query_grid(x, scene.table, scene.spec, k=k)
         valid = idx >= 0
         sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx,
-                               valid, x, rbf)
+                               valid, x, rbf, need_grad=need_grad)
         return sdf
 
     # occupancy prefilter: cell candidate list non-empty (superset of
@@ -136,7 +176,7 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     idx_c, _ = query_grid(x_c, scene.table, scene.spec, k=k)
     valid_c = (idx_c >= 0) & sel_ok[:, None]
     sdf_c, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx_c,
-                             valid_c, x_c, rbf)
+                             valid_c, x_c, rbf, need_grad=need_grad)
     out = jnp.full((m,), SDF_FILLER, dtype=x.dtype)
     return out.at[jnp.where(sel_ok, sel, m)].set(
         jnp.where(sel_ok, sdf_c, SDF_FILLER), mode="drop"
@@ -205,6 +245,10 @@ def sdf_and_grad(frozen, geo_latents, points, idx, valid, x, rbf):
     (pointneus_disent.py:315-323); in JAX a per-point value_and_grad that
     remains differentiable w.r.t. latents/params (for eikonal training).
     """
+    if _use_fused():
+        return _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid,
+                                   x, rbf)
+
     def scalar_sdf(xi, idx_i, valid_i):
         s, _ = aggregate_sdf(frozen, geo_latents, points, idx_i[None],
                              valid_i[None], xi[None], rbf)
@@ -212,6 +256,107 @@ def sdf_and_grad(frozen, geo_latents, points, idx, valid, x, rbf):
 
     f = jax.vmap(jax.value_and_grad(scalar_sdf), in_axes=(0, 0, 0))
     sdf, grad = f(x, idx, valid)
+    return sdf, grad
+
+
+def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
+    """Fused-kernel sdf_and_grad: one Pallas pass yields per-pair value +
+    input gradient; d(agg)/dx = RBF-weighted sum of per-pair x_pi grads
+    (the weights are constant w.r.t. x — distances are detached,
+    reference :242)."""
+    from spurfies_tpu.ops.pallas_mlp import pair_sdf_value_and_input_grad
+
+    m, k = idx.shape
+    safe_idx = jnp.maximum(idx, 0)
+    npos = points[safe_idx]
+    gfeat = geo_latents[safe_idx]
+    x_pi = x[:, None, :] - npos
+    w, norm = rbf_weights(x_pi, valid, rbf)
+
+    u = jnp.concatenate([gfeat, x_pi], axis=-1).reshape(m * k, -1)
+    s, r = pair_sdf_value_and_input_grad(frozen, u, FUSED_MLP_DTYPE)
+    s = jnp.where(valid, s.reshape(m, k), 0.0)
+    g = jax.lax.stop_gradient(r[:, 32:].reshape(m, k, 3))
+    g = jnp.where(valid[..., None], g, 0.0)
+
+    has = norm[..., 0] > 0
+    den = jnp.where(has, norm[..., 0], 1.0)
+    sdf = jnp.where(has, jnp.sum(w * s, axis=-1) / den, SDF_FILLER)
+    grad = jnp.sum(w[..., None] * g, axis=-2) / den[..., None]
+    return sdf, grad
+
+
+def compact_pair_slots(valid_flat: jnp.ndarray, budget: int):
+    """First-``budget`` True positions of ``valid_flat`` (static shape).
+
+    cumsum+scatter (O(P)) instead of a sort (O(P log P)): dest[p] = rank of
+    p among valid slots; scatter arange into a [budget] buffer.
+
+    Returns (slot ``[budget]`` int32 positions (clipped where unused),
+    ok ``[budget]`` bool, overflowed ``[]`` bool — True when valid pairs
+    were dropped).
+    """
+    p = valid_flat.shape[0]
+    ranks = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1       # [P]
+    n_valid = ranks[-1] + 1
+    dest = jnp.where(valid_flat & (ranks < budget), ranks, budget)
+    slot = jnp.full((budget + 1,), p, dtype=jnp.int32)
+    slot = slot.at[dest].set(jnp.arange(p, dtype=jnp.int32), mode="drop")
+    slot = slot[:budget]
+    ok = slot < p
+    return jnp.minimum(slot, p - 1), ok, n_valid > budget
+
+
+def sdf_and_grad_pairs(frozen, geo_latents, points, idx, valid, x, rbf,
+                       pair_budget: int):
+    """Pair-compacted :func:`sdf_and_grad`.
+
+    The dense path runs the frozen pair-MLP on every ``[M, K]`` slot,
+    valid or not; in production roughly half the slots are masked filler.
+    Here the ``M*K`` pair grid is compacted to its first ``pair_budget``
+    valid pairs (static shape), the MLP + input-gradient run once per kept
+    pair, and RBF-weighted sums scatter back per point.  Because the RBF
+    weights are constant w.r.t. x (distances are detached, reference
+    :242), d(agg)/dx decomposes into per-pair MLP input gradients — no
+    per-point K-group vmap needed.
+
+    Overflow (valid pairs > budget) drops the tail pairs from BOTH the
+    numerator and the weight normalization: affected points degrade to a
+    smaller effective k instead of biasing the SDF.
+
+    Exact match of sdf_and_grad when nothing overflows
+    (tests/test_model.py).
+    """
+    m, k = idx.shape
+    flat_valid = valid.reshape(-1)
+    slot, ok, overflowed = compact_pair_slots(flat_valid, pair_budget)
+
+    pt = slot // k                                   # owning point row
+    pidx = jnp.maximum(idx.reshape(-1)[slot], 0)
+    x_b = x[pt]                                      # [B, 3]
+    npos = points[pidx]
+    gfeat = geo_latents[pidx]                        # [B, 32]
+    x_pi = x_b - npos
+
+    dist = jax.lax.stop_gradient(
+        jnp.maximum(jnp.linalg.norm(x_pi, axis=-1), 1e-12)
+    )
+    w = jnp.exp(-((dist * rbf) ** 2)) * ok.astype(x.dtype)
+
+    def f(xpi_one, gf_one):
+        return pair_sdf(frozen, gf_one[None], xpi_one[None])[0]
+
+    s, g = jax.vmap(jax.value_and_grad(f))(x_pi, gfeat)   # [B], [B, 3]
+
+    seg = jnp.where(ok, pt, m)
+    num = jnp.zeros((m,), x.dtype).at[seg].add(w * s, mode="drop")
+    den = jnp.zeros((m,), x.dtype).at[seg].add(w, mode="drop")
+    gnum = jnp.zeros((m, 3), x.dtype).at[seg].add(w[:, None] * g,
+                                                  mode="drop")
+    has = den > 0
+    safe_den = jnp.where(has, den, 1.0)
+    sdf = jnp.where(has, num / safe_den, SDF_FILLER)
+    grad = gnum / safe_den[:, None]
     return sdf, grad
 
 

@@ -78,7 +78,7 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
             return field.sdf_probe(
                 jax.lax.stop_gradient(frozen),
                 jax.lax.stop_gradient(tp["feats_geometry"]),
-                scene, x, cfg.k, cfg.r, cfg.rbf,
+                scene, x, cfg.k, cfg.r, cfg.rbf, need_grad=False,
             )
 
         z_all = error_bound_z_vals(skey, sdf_probe_fn, cam_loc, ray_dirs,
@@ -147,6 +147,14 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
             bsel_ok, mode="drop"
         )
         sel_valid = sel_valid & covered.reshape(n_rays, S)
+    elif cfg.pair_budget_frac > 0:
+        budget = max(
+            int(n_rays * S * K * cfg.pair_budget_frac) // 256 * 256, 256
+        )
+        sdf_flat, grad_flat = field.sdf_and_grad_pairs(
+            frozen, tp["feats_geometry"], scene.points, flat_idx,
+            flat_valid, flat_x, cfg.rbf, budget,
+        )
     else:
         sdf_flat, grad_flat = field.sdf_and_grad(
             frozen, tp["feats_geometry"], scene.points, flat_idx,

@@ -1,0 +1,239 @@
+"""Fused Pallas kernel for the frozen pair-SDF MLP (value + input-gradient).
+
+The hot loop of the whole pipeline is the frozen local-prior MLP evaluated
+per (shading point, neighbor) pair: 6 matmuls (35->256, 4x 256->256,
+256->1) on ~655k rows per step (reference pointneus_disent.py:300-323 and
+its double backprop).  In XLA this is HBM-bandwidth-bound: every layer's
+[655k, 256] activation roundtrips HBM (measured ~46 TF/s-equivalent f32 and
+bf16-insensitive — ops/NOTES in BENCH history).  This kernel keeps weights
+AND activations in VMEM; HBM sees only the [M, 35] input and the [M, 36]
+output (value + full input-gradient).
+
+Two structural facts make the whole autodiff story collapse:
+
+  1. The net is FROZEN — no weight cotangents are ever needed.
+  2. Linear + LeakyReLU is piecewise linear, so the input-Hessian is zero
+     almost everywhere.  The input gradient r = ds/du is locally constant,
+     and the VJP of (s, g) w.r.t. u under cotangents (s_bar, g_bar) is
+     exactly s_bar * r — the g_bar term vanishes (JAX's autodiff of the
+     XLA path computes the same zero: d(lrelu')/dx == 0 a.e.).  The
+     reference's double backprop (eikonal -> latents) has the identical
+     a.e.-zero structure.
+
+So: forward kernel = one MXU sweep up (storing pre-activations in VMEM) +
+one sweep down (transposed weights) => s and r; backward = elementwise.
+
+Weights are padded host-side to lane-friendly shapes (35 -> 40 rows is
+fine for Mosaic; the K dimension need not be 128).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spurfies_tpu.model.networks import LEAKY_SLOPE
+
+IN_DIM = 35          # geo latent 32 + x_pi 3
+HID = 256
+
+
+def _flatten_frozen(frozen):
+    """frozen {F_geometry: [6? layers], T: [1]} -> list of (w, b)."""
+    layers = [(l["w"], l["b"]) for l in frozen["F_geometry"]]
+    layers += [(l["w"], l["b"]) for l in frozen["T"]]
+    return layers
+
+
+def _mlp_kernel(*refs, compute_dtype, n_layers):
+    """Up sweep (value) + down sweep (input gradient), all in VMEM.
+
+    In bf16 mode matmul outputs stay bf16 (MXU still accumulates f32
+    internally) and LeakyReLU is a single ``maximum`` — the VPU
+    elementwise work between matmuls, not the MXU, limits this kernel.
+    Down-sweep weights arrive pre-transposed (host-side) so Mosaic never
+    transposes in-kernel.
+    """
+    u_ref = refs[0]
+    ws = refs[1:1 + n_layers]
+    wts = refs[1 + n_layers:1 + 2 * n_layers]
+    bs = refs[1 + 2 * n_layers:1 + 3 * n_layers]
+    out_s_ref, out_r_ref = refs[-2], refs[-1]
+
+    acc_t = jnp.float32   # Mosaic requires 32-bit matmul accumulators
+
+    x = u_ref[...].astype(compute_dtype)
+    gates = []
+    # up sweep: 35 -> 256 x4 -> 256 -> 1; lrelu after layers 0..n-3, none
+    # after the last F_geometry linear (n-2) nor T (n-1)
+    for i in range(n_layers):
+        w = ws[i][...].astype(compute_dtype)
+        b = bs[i][...].astype(acc_t)
+        a = jnp.dot(x, w, preferred_element_type=acc_t) + b
+        if i < n_layers - 2:
+            # lrelu(a) = max(a, slope*a) for slope in (0, 1)
+            x = jnp.maximum(a, LEAKY_SLOPE * a)
+            gates.append(
+                jnp.where(a > 0, 1.0, LEAKY_SLOPE).astype(compute_dtype)
+            )
+            x = x.astype(compute_dtype)
+        else:
+            x = a.astype(compute_dtype)
+    out_s_ref[...] = x[:, :1].astype(jnp.float32)
+
+    # down sweep: r = ds/du with pre-transposed weights
+    t = u_ref.shape[0]
+    delta = jnp.broadcast_to(
+        wts[n_layers - 1][...].astype(compute_dtype), (t, HID)
+    )
+    for i in range(n_layers - 2, -1, -1):
+        wt = wts[i][...].astype(compute_dtype)
+        delta = jnp.dot(delta, wt, preferred_element_type=acc_t).astype(
+            compute_dtype
+        )
+        if i > 0:
+            delta = delta * gates[i - 1]
+    out_r_ref[...] = delta.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("tile", "compute_dtype", "interpret"))
+def _fused_mlp_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
+                    interpret=False):
+    m = u.shape[0]
+    n_layers = len(ws)
+    pad = (-m) % tile
+    if pad:
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+    mp = m + pad
+    wts = tuple(w.T for w in ws)
+
+    grid = (mp // tile,)
+    in_specs = [pl.BlockSpec((tile, u.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in list(ws) + list(wts) + list(bs):
+        in_specs.append(
+            pl.BlockSpec(arr.shape, lambda i, nd=arr.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+        )
+
+    s, r = pl.pallas_call(
+        partial(_mlp_kernel, compute_dtype=compute_dtype,
+                n_layers=n_layers),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, u.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, u.shape[1]), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u, *ws, *wts, *bs)
+    return s[:m, 0], r[:m]
+
+
+def _value_kernel(*refs, compute_dtype, n_layers):
+    u_ref = refs[0]
+    ws = refs[1:1 + n_layers]
+    bs = refs[1 + n_layers:1 + 2 * n_layers]
+    out_s_ref = refs[-1]
+    acc_t = jnp.float32   # Mosaic requires 32-bit matmul accumulators
+    x = u_ref[...].astype(compute_dtype)
+    for i in range(n_layers):
+        w = ws[i][...].astype(compute_dtype)
+        b = bs[i][...].astype(acc_t)
+        a = jnp.dot(x, w, preferred_element_type=acc_t) + b
+        if i < n_layers - 2:
+            x = jnp.maximum(a, LEAKY_SLOPE * a).astype(compute_dtype)
+        else:
+            x = a.astype(compute_dtype)
+    out_s_ref[...] = x[:, :1].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("tile", "compute_dtype", "interpret"))
+def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
+                      interpret=False):
+    m = u.shape[0]
+    n_layers = len(ws)
+    pad = (-m) % tile
+    if pad:
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+    mp = m + pad
+
+    in_specs = [pl.BlockSpec((tile, u.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in list(ws) + list(bs):
+        in_specs.append(
+            pl.BlockSpec(arr.shape, lambda i, nd=arr.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+        )
+    s = pl.pallas_call(
+        partial(_value_kernel, compute_dtype=compute_dtype,
+                n_layers=n_layers),
+        grid=(mp // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        interpret=interpret,
+    )(u, *ws, *bs)
+    return s[:m, 0]
+
+
+def pair_sdf_value(frozen, u, compute_dtype=jnp.bfloat16):
+    """Value-only fused MLP (no-grad probe paths — sampler importance,
+    marching-cubes probe): one up sweep, half the grad kernel's work."""
+    layers = _flatten_frozen(frozen)
+    ws = tuple(w for w, _ in layers)
+    bs = tuple(b[None] if b.ndim == 1 else b for _, b in layers)
+    return _fused_value_call(u, ws, bs, compute_dtype=compute_dtype,
+                             **_kernel_kwargs(u))
+
+
+def _kernel_kwargs(u):
+    # tests / CPU fall back to the interpreter; TPU runs the real kernel
+    interpret = jax.default_backend() != "tpu"
+    return {"interpret": interpret}
+
+
+def _fwd_impl(frozen, u, compute_dtype):
+    layers = _flatten_frozen(frozen)
+    ws = [w for w, _ in layers]
+    bs = [b[None] if b.ndim == 1 else b for _, b in layers]
+    return _fused_mlp_call(
+        u, tuple(ws), tuple(bs), compute_dtype=compute_dtype,
+        **_kernel_kwargs(u),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pair_sdf_value_and_input_grad(frozen, u, compute_dtype=jnp.bfloat16):
+    """(s [M], r [M, 35]) = frozen MLP value + full input gradient.
+
+    Differentiable w.r.t. ``u`` (cotangent s_bar * r, exact a.e. — see
+    module docstring); frozen receives zero cotangents (it is frozen).
+    """
+    return _fwd_impl(frozen, u, compute_dtype)
+
+
+def _vjp_fwd(frozen, u, compute_dtype):
+    s, r = _fwd_impl(frozen, u, compute_dtype)
+    return (s, r), (frozen, r)
+
+
+def _vjp_bwd(compute_dtype, res, cot):
+    frozen, r = res
+    s_bar, _g_bar = cot      # g_bar pullback is 0 a.e. (piecewise linear)
+    u_bar = s_bar[:, None] * r
+    zero_frozen = jax.tree_util.tree_map(jnp.zeros_like, frozen)
+    return zero_frozen, u_bar
+
+
+pair_sdf_value_and_input_grad.defvjp(_vjp_fwd, _vjp_bwd)

@@ -135,6 +135,80 @@ class TestField:
             np.testing.assert_allclose(np.asarray(grad[:, d]),
                                        np.asarray(fd), rtol=2e-2, atol=2e-3)
 
+    def test_pairs_match_dense(self, sphere_scene):
+        """sdf_and_grad_pairs == sdf_and_grad when the budget holds all
+        valid pairs, including empty-space filler points and second-order
+        grads w.r.t. latents (the eikonal path)."""
+        scene, params = sphere_scene
+        frozen = params["frozen"]
+        geo = params["train"]["feats_geometry"]
+        rng = np.random.default_rng(3)
+        # mix of near-surface and empty-space points
+        x = jnp.concatenate([
+            scene.points[:24] + jnp.asarray(
+                rng.normal(0, 0.01, (24, 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0.8, 0.95, (8, 3)).astype(np.float32)),
+        ])
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
+        valid = idx >= 0
+        budget = int(np.sum(np.asarray(valid))) + 16  # no overflow
+
+        s_d, g_d = field.sdf_and_grad(frozen, geo, scene.points, idx,
+                                      valid, x, CFG.rbf)
+        s_p, g_p = field.sdf_and_grad_pairs(frozen, geo, scene.points, idx,
+                                            valid, x, CFG.rbf, budget)
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
+                                   rtol=1e-4, atol=1e-5)
+
+        def eik_dense(g):
+            s, gr = field.sdf_and_grad(frozen, g, scene.points, idx, valid,
+                                       x, CFG.rbf)
+            return jnp.sum((jnp.linalg.norm(gr, axis=-1) - 1.0) ** 2) + \
+                jnp.sum(jnp.where(s < 100.0, s, 0.0))
+
+        def eik_pairs(g):
+            s, gr = field.sdf_and_grad_pairs(frozen, g, scene.points, idx,
+                                             valid, x, CFG.rbf, budget)
+            return jnp.sum((jnp.linalg.norm(gr, axis=-1) - 1.0) ** 2) + \
+                jnp.sum(jnp.where(s < 100.0, s, 0.0))
+
+        gd = jax.grad(eik_dense)(geo)
+        gp = jax.grad(eik_pairs)(geo)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_pairs_overflow_degrades_gracefully(self, sphere_scene):
+        """Overflow drops tail pairs from numerator AND denominator: the
+        surviving points' SDF is still a proper weighted average (bounded
+        by min/max of their pair SDFs), never a biased sum."""
+        scene, params = sphere_scene
+        frozen = params["frozen"]
+        geo = params["train"]["feats_geometry"]
+        x = scene.points[:16] + 0.01
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
+        valid = idx >= 0
+        n_valid = int(np.sum(np.asarray(valid)))
+        budget = max(n_valid // 2 // 256 * 256, 16)   # force overflow
+
+        s_p, _ = field.sdf_and_grad_pairs(frozen, geo, scene.points, idx,
+                                          valid, x, CFG.rbf, budget)
+        s_p = np.asarray(s_p)
+        covered = s_p < 100.0
+        assert covered.any()
+        # every covered SDF within the global per-pair SDF envelope
+        x_pi = np.asarray(x)[:, None, :] - np.asarray(
+            scene.points[np.maximum(np.asarray(idx), 0)])
+        pair_s = np.asarray(field.pair_sdf(
+            frozen, geo[np.maximum(np.asarray(idx), 0)],
+            jnp.asarray(x_pi)))
+        lo = pair_s[np.asarray(valid)].min() - 1e-4
+        hi = pair_s[np.asarray(valid)].max() + 1e-4
+        assert (s_p[covered] >= lo).all() and (s_p[covered] <= hi).all()
+
     def test_color_range(self, sphere_scene):
         scene, params = sphere_scene
         x = scene.points[:8] + 0.005

@@ -1,0 +1,122 @@
+"""Parity tests for the fused pair-MLP Pallas kernel (interpret mode on the
+CPU mesh; the real kernel runs on TPU only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spurfies_tpu.config import ModelConfig
+from spurfies_tpu.model import field
+from spurfies_tpu.model.networks import init_model_params
+from spurfies_tpu.ops.pallas_mlp import (
+    pair_sdf_value,
+    pair_sdf_value_and_input_grad,
+)
+
+
+@pytest.fixture(scope="module")
+def frozen():
+    params = init_model_params(jax.random.PRNGKey(0), ModelConfig())
+    return params["frozen"]
+
+
+@pytest.fixture(scope="module")
+def u(frozen):
+    rng = np.random.default_rng(1)
+    gfeat = rng.normal(0, 0.3, (64, 32)).astype(np.float32)
+    x_pi = rng.normal(0, 0.03, (64, 3)).astype(np.float32)
+    return jnp.asarray(np.concatenate([gfeat, x_pi], -1))
+
+
+def _ref_s(frozen, u):
+    return field.pair_sdf(frozen, u[:, :32], u[:, 32:])
+
+
+class TestKernelParity:
+    def test_value(self, frozen, u):
+        s_ref = _ref_s(frozen, u)
+        s_k = pair_sdf_value(frozen, u, jnp.float32)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_value_and_grad(self, frozen, u):
+        s_k, r_k = pair_sdf_value_and_input_grad(frozen, u, jnp.float32)
+        s_ref = _ref_s(frozen, u)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                                   rtol=1e-5, atol=1e-6)
+        r_ref = jax.vmap(jax.grad(lambda uu: _ref_s(frozen, uu[None])[0]))(u)
+        np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_custom_vjp_matches_autodiff(self, frozen, u):
+        c = jnp.asarray(np.random.default_rng(2).normal(size=(64,))
+                        .astype(np.float32))
+
+        def loss_kernel(uu):
+            s, _ = pair_sdf_value_and_input_grad(frozen, uu, jnp.float32)
+            return jnp.sum(s * c)
+
+        def loss_ref(uu):
+            return jnp.sum(_ref_s(frozen, uu) * c)
+
+        gk = jax.grad(loss_kernel)(u)
+        gr = jax.grad(loss_ref)(u)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_gradient_cotangent_is_zero_everywhere(self, frozen, u):
+        """The piecewise-linearity fact the custom VJP relies on: the XLA
+        autodiff pullback through the input-gradient output is exactly 0
+        (d lrelu'/dx == 0 a.e.), so dropping it in the kernel VJP is not
+        an approximation but the same number."""
+        def eik_ref(uu):
+            r = jax.vmap(jax.grad(lambda one: _ref_s(frozen, one[None])[0])
+                         )(uu)
+            g = r[:, 32:]
+            return jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+        g = jax.grad(eik_ref)(u)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
+
+
+class TestFusedFieldPath:
+    def test_sdf_and_grad_fused_matches_dense(self):
+        from spurfies_tpu.model.neural_points import build_scene
+        from spurfies_tpu.ops.voxel_grid import query_grid
+
+        cfg = ModelConfig()
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(2000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        pts = (0.5 * v).astype(np.float32)
+        scene, latents = build_scene(jax.random.PRNGKey(0), pts, cfg,
+                                     rng.uniform(0, 255, (2000, 3)))
+        params = init_model_params(jax.random.PRNGKey(1), cfg)
+        frozen = params["frozen"]
+        geo = latents["feats_geometry"]
+
+        x = scene.points[:32] + 0.01
+        idx, _ = query_grid(x, scene.table, scene.spec, k=cfg.k)
+        valid = idx >= 0
+
+        field.set_fused_mlp("off")
+        s_d, g_d = field.sdf_and_grad(frozen, geo, scene.points, idx,
+                                      valid, x, cfg.rbf)
+        sp_d = field.sdf_probe(frozen, geo, scene, x, cfg.k, cfg.r, cfg.rbf)
+
+        try:
+            field.set_fused_mlp("on", jnp.float32)
+            s_f, g_f = field.sdf_and_grad(frozen, geo, scene.points, idx,
+                                          valid, x, cfg.rbf)
+            sp_f = field.sdf_probe(frozen, geo, scene, x, cfg.k, cfg.r,
+                                   cfg.rbf)
+        finally:
+            field.set_fused_mlp("auto", jnp.float32)
+
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_d),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_d),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sp_f), np.asarray(sp_d),
+                                   rtol=1e-5, atol=1e-5)
