@@ -90,11 +90,70 @@ def _reindex(verts, faces):
     return verts[used], remap[faces]
 
 
+def clean_mesh_by_visibility(verts, faces, world_mats, img_res,
+                             rel_tol: float = 0.03):
+    """Drop faces first-hit by NO view — the reference's ray-cast pass
+    (clean_mesh_faces_outside_frustum, clean_mesh.py:258-344, trimesh +
+    pyembree) re-expressed as a z-buffer visibility test.
+
+    Casting a ray through a pixel and keeping the first hit face is
+    exactly a z-buffer query at that pixel.  Per view: scatter-min each
+    face's depth at its projected sample pixels (3 vertices + centroid),
+    then a face is visible iff one of its samples' depths is within
+    ``rel_tol`` of the buffer minimum at that pixel.  Occluded interior
+    faces — which containment-style frustum culling keeps and the
+    reference drops — are dropped here too.
+    """
+    hgt, wid = img_res
+    if len(faces) == 0:
+        return verts, faces
+    f = len(faces)
+    tri = verts[faces]                                      # [F, 3, 3]
+
+    # fixed barycentric sample grid covering the triangle (vertices, edge
+    # midpoints, interior) — a bounded micro-rasterizer per face; sparse
+    # sampling alone leaves z-buffer holes when faces span multiple pixels
+    bary = np.array([
+        [1, 0, 0], [0, 1, 0], [0, 0, 1],
+        [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
+        [1 / 3, 1 / 3, 1 / 3],
+        [2 / 3, 1 / 6, 1 / 6], [1 / 6, 2 / 3, 1 / 6], [1 / 6, 1 / 6, 2 / 3],
+        [.5, .25, .25], [.25, .5, .25], [.25, .25, .5],
+    ])                                                       # [B, 3]
+    nb = len(bary)
+    pts = np.einsum("bj,fjc->fbc", bary, tri).reshape(-1, 3)  # [F*B, 3]
+
+    visible = np.zeros(f, dtype=bool)
+    for P in world_mats:
+        x, y, z = project_vertices(pts, P)
+        xi = np.round(x).astype(np.int64)
+        yi = np.round(y).astype(np.int64)
+        inb = (z > 1e-6) & (xi >= 0) & (xi < wid) & (yi >= 0) & (yi < hgt)
+        pix = np.where(inb, yi * wid + xi, 0)
+        zbuf = np.full(hgt * wid, np.inf)
+        np.minimum.at(zbuf, pix[inb], z[inb])
+        front = inb & (z <= zbuf[pix] * (1.0 + rel_tol))
+        visible |= front.reshape(f, nb).any(axis=1)
+
+    # ring dilation: grazing-angle faces lose the depth race by a hair;
+    # recover faces touching a visible vertex (a fully occluded region is
+    # many rings away from any visible face, so the separation survives)
+    for _ in range(2):
+        vis_verts = np.zeros(len(verts), dtype=bool)
+        vis_verts[faces[visible].reshape(-1)] = True
+        visible = visible | vis_verts[faces].any(axis=1)
+    return _reindex(verts, faces[visible])
+
+
 def clean_mesh(verts, faces, world_mats, masks, img_res,
-               dilate_px: int = 11, min_component_faces: int = 500):
-    """Full pipeline: mask pass -> frustum pass (reference main loop,
-    clean_mesh.py:382-414)."""
+               dilate_px: int = 11, min_component_faces: int = 500,
+               visibility: bool = True):
+    """Full pipeline: mask pass -> visibility (ray-cast-equivalent) pass ->
+    frustum + component pass (reference main loop, clean_mesh.py:382-414)."""
     verts, faces = clean_mesh_by_masks(verts, faces, world_mats, masks,
                                        dilate_px)
+    if visibility and len(faces):
+        verts, faces = clean_mesh_by_visibility(verts, faces, world_mats,
+                                                img_res)
     return clean_mesh_by_frustum(verts, faces, world_mats, img_res,
                                  min_component_faces)

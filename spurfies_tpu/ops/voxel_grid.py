@@ -243,6 +243,16 @@ def query_grid(x: jnp.ndarray, qt: QueryTable, spec: VoxelGridSpec,
 
     cand = qt.idx[cid]                                         # [M, qcap]
     cpos = qt.pos[cid]                                         # [M, 3, qcap]
+
+    if jax.default_backend() == "tpu" and x.shape[0] >= 1024:
+        # fused distance + iterative top-k in VMEM (exact match of the XLA
+        # path below; the bitonic lax.top_k and the [M, qcap] HBM
+        # intermediates are the expensive parts it removes)
+        from spurfies_tpu.ops.pallas_select import select_knn_pallas
+        cand = jnp.where(in_grid[:, None], cand, -1)
+        return select_knn_pallas(x, cand, cpos, k=k,
+                                 radius2=float(radius2), tile=1024)
+
     diff = x[:, :, None] - cpos                                # aligned tiles
     d2 = jnp.sum(diff * diff, axis=1)                          # [M, qcap]
     ok = (cand >= 0) & (d2 <= radius2) & in_grid[:, None]

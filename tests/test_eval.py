@@ -148,3 +148,66 @@ class TestChamfer:
         res = chamfer_dtu(pts + np.array([2.0, 0, 0]),
                           np.zeros((0, 3), dtype=np.int64), pts)
         assert res["acc"] > 0.5
+
+
+class TestVisibilityCleaning:
+    """Ray-cast-equivalent z-buffer pass (VERDICT r1 #8): occluded faces
+    must be dropped, like the reference's trimesh+pyembree ray cast —
+    containment-style frustum culling alone keeps them."""
+
+    @staticmethod
+    def _scene():
+        from spurfies_tpu.data.synthetic import look_at
+
+        def sphere_mesh(radius, n=24):
+            from spurfies_tpu.eval.marching import marching_tetrahedra
+            g = np.linspace(-1.3 * radius, 1.3 * radius, n)
+            X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+            sdf = np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - radius
+            return marching_tetrahedra(
+                sdf, 0.0, origin=(-1.3 * radius,) * 3,
+                spacing=(g[1] - g[0],) * 3,
+            )
+
+        vo, fo = sphere_mesh(0.5)
+        vi, fi = sphere_mesh(0.2)            # fully inside the outer sphere
+        verts = np.concatenate([vo, vi])
+        faces = np.concatenate([fo, np.asarray(fi) + len(vo)])
+        inner = np.zeros(len(faces), dtype=bool)
+        inner[len(fo):] = True
+
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 80.0
+        K[0, 2], K[1, 2] = 32.0, 24.0
+        mats = []
+        for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+            eye = 1.6 * np.array([np.cos(ang), 0.3, np.sin(ang)])
+            c2w = look_at(eye).astype(np.float64)
+            mats.append(K @ np.linalg.inv(c2w))
+        return verts, np.asarray(faces), inner, mats, (48, 64)
+
+    def test_occluded_faces_dropped(self):
+        from spurfies_tpu.eval.clean_mesh import (
+            clean_mesh_by_frustum,
+            clean_mesh_by_visibility,
+        )
+        verts, faces, inner, mats, res = self._scene()
+        n_inner = int(inner.sum())
+        n_outer = len(faces) - n_inner
+
+        # containment keeps (almost) everything, incl. the hidden sphere
+        vf, ff = clean_mesh_by_frustum(verts, faces, mats, res,
+                                       min_component_faces=1)
+        assert len(ff) > n_outer  # the inner sphere survived containment
+
+        vv, fv = clean_mesh_by_visibility(verts, faces, mats, res)
+        # visibility keeps most of the outer shell, drops the inner one
+        assert len(fv) >= 0.7 * n_outer
+        assert len(fv) <= 1.02 * n_outer
+
+    def test_single_sphere_survives(self):
+        from spurfies_tpu.eval.clean_mesh import clean_mesh_by_visibility
+        verts, faces, inner, mats, res = self._scene()
+        outer_faces = faces[~inner]
+        vv, fv = clean_mesh_by_visibility(verts, outer_faces, mats, res)
+        assert len(fv) >= 0.9 * len(outer_faces)
