@@ -68,13 +68,16 @@ class ModelConfig:
     #                                   Exact when nothing overflows;
     #                                   overflow shrinks effective k for
     #                                   tail points (no SDF bias).
-    color_top_samples: int = 48       # >0: run the color MLP only on the
+    color_top_samples: int = 32       # >0: run the color MLP only on the
     #                                   top-K samples per ray by rendering
     #                                   weight, rescaled to preserve total
     #                                   weight (quadrature subsampling;
     #                                   0 = exact reference behavior).
-    #                                   Gate result: 48 gives +11% rays/s
-    #                                   at identical PSNR and mesh error.
+    #                                   Gates (2k-step validate_pipeline):
+    #                                   48: PSNR 25.44 mesh 0.0276;
+    #                                   32: PSNR 25.62 mesh 0.0276 (+12%
+    #                                   rays/s vs 48); 24: PSNR 24.8 (too
+    #                                   aggressive — rejected).
     pos_multires: int = 6             # position encoding bands
     view_multires: int = 3            # view-dir encoding bands
     # voxel grid (reference pointneus_disent.py:45-62)

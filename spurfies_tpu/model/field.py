@@ -62,6 +62,8 @@ def set_geometry_dtype(dtype):
 
 
 FUSED_MLP_MODE = "auto"   # "auto" (TPU only) | "on" (incl. interpret) | "off"
+FUSED_COLOR = False       # fused color kernel: measured net-negative (see
+#                           aggregate_color note); flip to re-evaluate
 FUSED_MLP_DTYPE = jnp.bfloat16   # quality-gated: 2k-step validate_pipeline
 #                                  PSNR 25.44 / mesh err 0.0276 == f32 run
 
@@ -166,10 +168,9 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
 
     budget = max(int(m * budget_frac) // 128 * 128, 128)
-    key = jnp.where(occ, jnp.arange(m, dtype=jnp.int32), m)
-    order = jnp.sort(key)[:budget]        # first `budget` occupied positions
-    sel_ok = order < m
-    sel = jnp.minimum(order, m - 1)
+    # first `budget` occupied positions via cumsum+scatter (O(m); a sort
+    # here measured ~2ms at 131k probe points)
+    sel, sel_ok, _ = compact_pair_slots(occ, budget)
     # (ray-major order already has spatial locality; cell-sorting measured
     # neutral here — see query_grid(sort_queries=...) for random batches)
 
@@ -379,6 +380,34 @@ def aggregate_color(train_params, color_latents, points, idx, valid, x,
     cfeat = color_latents[safe_idx]               # [M, K, 64]
     x_pi = x[:, None, :] - npos
     w, norm = rbf_weights(x_pi, valid, rbf)
+
+    # NEGATIVE RESULT (round 2): the fused color kernel (ops/pallas_color)
+    # matches XLA on fwd but its backward — in-kernel transposed dW
+    # matmuls + cross-tile accumulators — measured SLOWER than XLA's whole
+    # fwd+bwd (17-47ms vs 18ms at production shapes), and degrades with
+    # tile size.  Unlike the frozen SDF net, the trainable color stack
+    # gets no piecewise-linear VJP collapse, and XLA's stored-activation
+    # backward is already efficient.  Kept behind this flag (parity-tested
+    # in tests/test_pallas_mlp.py) for future revisits.
+    if (FUSED_COLOR and _use_fused() and idx.shape[1] == 8
+            and pos_multires == 6):
+        from spurfies_tpu.ops.pallas_color import TP, fused_color
+        m, k = idx.shape
+        has = norm > 0
+        wn = (w / jnp.where(has, norm, 1.0))[..., None]     # [M, K, 1]
+        dir_enc = positional_encoding(ray_dirs, view_multires)
+        pad = (-m) % TP
+        if pad:
+            x_pi = jnp.pad(x_pi, ((0, pad), (0, 0), (0, 0)))
+            cfeat = jnp.pad(cfeat, ((0, pad), (0, 0), (0, 0)))
+            wn = jnp.pad(wn, ((0, pad), (0, 0), (0, 0)))
+            dir_enc = jnp.pad(dir_enc, ((0, pad), (0, 0)))
+        rgb = fused_color(
+            train_params,
+            x_pi.reshape(-1, 3), cfeat.reshape(-1, cfeat.shape[-1]),
+            wn.reshape(-1, 1), dir_enc, FUSED_MLP_DTYPE,
+        )
+        return rgb[:m]
 
     pos_enc = positional_encoding(x_pi, pos_multires)       # [M, K, 39]
     field_in = jnp.concatenate([pos_enc, cfeat], axis=-1)   # [M, K, 103]

@@ -120,3 +120,91 @@ class TestFusedFieldPath:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(sp_f), np.asarray(sp_d),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFusedColor:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from spurfies_tpu.model.neural_points import build_scene
+        from spurfies_tpu.ops.voxel_grid import query_grid
+
+        cfg = ModelConfig()
+        rng = np.random.default_rng(11)
+        v = rng.normal(size=(2000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        pts = (0.5 * v).astype(np.float32)
+        scene, latents = build_scene(jax.random.PRNGKey(0), pts, cfg,
+                                     rng.uniform(0, 255, (2000, 3)))
+        params = init_model_params(jax.random.PRNGKey(1), cfg)
+        params["train"].update(latents)
+        tp = params["train"]
+
+        m = 160   # not a multiple of the 128-point tile: exercises padding
+        x = scene.points[:m] + jnp.asarray(
+            rng.normal(0, 0.01, (m, 3)).astype(np.float32))
+        idx, _ = query_grid(x, scene.table, scene.spec, k=cfg.k)
+        valid = idx >= 0
+        dirs = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        return scene, tp, x, idx, valid, dirs
+
+    def _rgb(self, setup, mode):
+        scene, tp, x, idx, valid, dirs = setup
+        try:
+            field.FUSED_COLOR = mode == "on"
+            field.set_fused_mlp(mode, jnp.float32)
+            return field.aggregate_color(
+                tp, tp["feats_color"], scene.points, idx, valid, x, dirs,
+                45.0, 6, 3, compute_dtype=None,
+            )
+        finally:
+            field.FUSED_COLOR = False
+            field.set_fused_mlp("auto", jnp.float32)
+
+    def test_forward_parity(self, setup):
+        rgb_ref = self._rgb(setup, "off")
+        rgb_k = self._rgb(setup, "on")
+        np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grad_parity(self, setup):
+        scene, tp, x, idx, valid, dirs = setup
+        c = jnp.asarray(np.random.default_rng(5)
+                        .normal(size=(x.shape[0], 3)).astype(np.float32))
+
+        def loss(p, mode):
+            try:
+                field.FUSED_COLOR = mode == "on"
+                field.set_fused_mlp(mode, jnp.float32)
+                rgb = field.aggregate_color(
+                    p, p["feats_color"], scene.points, idx, valid, x, dirs,
+                    45.0, 6, 3, compute_dtype=None,
+                )
+            finally:
+                field.FUSED_COLOR = False
+                field.set_fused_mlp("auto", jnp.float32)
+            return jnp.sum(rgb * c)
+
+        g_ref = jax.grad(lambda p: loss(p, "off"))(tp)
+        g_k = jax.grad(lambda p: loss(p, "on"))(tp)
+
+        np.testing.assert_allclose(
+            np.asarray(g_k["feats_color"]), np.asarray(g_ref["feats_color"]),
+            rtol=1e-3, atol=1e-5,
+        )
+        for li in range(len(tp["F_color"])):
+            for key in ("w", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(g_k["F_color"][li][key]),
+                    np.asarray(g_ref["F_color"][li][key]),
+                    rtol=1e-3, atol=2e-4,
+                    err_msg=f"F_color[{li}].{key}",
+                )
+        for li in range(len(tp["R"])):
+            for key in ("w", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(g_k["R"][li][key]),
+                    np.asarray(g_ref["R"][li][key]),
+                    rtol=1e-3, atol=2e-4,
+                    err_msg=f"R[{li}].{key}",
+                )
