@@ -79,6 +79,20 @@ def main():
     else:
         mesh_err = mesh_bias = float("nan")
 
+    # auto-calibrated iso level (pseudo-loss depth-skew debias)
+    from spurfies_tpu.eval.mesh_extract import calibrate_iso_level
+    iso = calibrate_iso_level(trainer.scene.points, sdf_fn)
+    verts_c, _ = extract_mesh(
+        sdf_fn, [-0.8, -0.8, -0.8], [0.8, 0.8, 0.8],
+        resolution=args.resolution, level=iso,
+    )
+    if len(verts_c):
+        rc = np.linalg.norm(verts_c, axis=-1)
+        mesh_err_cal = float(np.mean(np.abs(rc - radius)))
+        mesh_bias_cal = float(np.mean(rc - radius))
+    else:
+        mesh_err_cal = mesh_bias_cal = float("nan")
+
     # NVS on train view 0
     h = w = 128
     out = trainer.render_image(
@@ -101,6 +115,9 @@ def main():
         "mesh_verts": int(len(verts)),
         "mesh_mean_radius_err": round(mesh_err, 5),
         "mesh_signed_bias": round(mesh_bias, 5),
+        "auto_iso_level": round(iso, 5),
+        "mesh_err_auto_iso": round(mesh_err_cal, 5),
+        "mesh_bias_auto_iso": round(mesh_bias_cal, 5),
         "masked_psnr": round(psnr, 2),
     }, indent=2))
 

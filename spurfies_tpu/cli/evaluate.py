@@ -29,7 +29,7 @@ DEFAULT_SCANS = {
 
 def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
                resolution: int = 512, out_root: str = "results",
-               max_views=None):
+               max_views=None, auto_iso: bool = False):
     import jax
     from spurfies_tpu.model import field
     from spurfies_tpu.train.trainer import Trainer
@@ -78,8 +78,17 @@ def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
             lo = np.asarray(cfg.model.scene_lo)
             hi = np.asarray(cfg.model.scene_hi)
 
+        level = 0.0
+        if auto_iso:
+            # extraction-level debias of the pseudo-loss depth skew
+            # (see eval/mesh_extract.calibrate_iso_level)
+            from spurfies_tpu.eval.mesh_extract import calibrate_iso_level
+            level = calibrate_iso_level(trainer.scene.points, sdf_fn)
+            summary["auto_iso_level"] = level
+            log.info(f"{scan}: auto-calibrated iso level {level:+.4f}")
         verts, faces = extract_mesh(
-            sdf_fn, lo, hi, resolution=resolution, scale_mat=sd.scale_mat
+            sdf_fn, lo, hi, resolution=resolution, scale_mat=sd.scale_mat,
+            level=level,
         )
         mesh_path = os.path.join(out_dir, f"mesh_{scan}.ply")
         save_mesh_ply(mesh_path, verts, faces)
@@ -122,6 +131,9 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--max-views", type=int, default=None,
                     help="cap the number of eval views rendered")
+    ap.add_argument("--auto-iso", action="store_true",
+                    help="extract at the self-calibrated iso level "
+                         "(debiases the pseudo-loss depth skew)")
     ap.add_argument("--out", default="results")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -136,7 +148,8 @@ def main(argv=None):
     )
     summaries = [
         eval_scene(cfg, s.strip(), args.mesh, args.rendering,
-                   args.resolution, args.out, max_views=args.max_views)
+                   args.resolution, args.out, max_views=args.max_views,
+                   auto_iso=args.auto_iso)
         for s in scans
     ]
     if any("nvs" in s for s in summaries):

@@ -154,3 +154,48 @@ def test_trainer_dp_validates_divisibility():
                                             img_res=(16, 16))
     with pytest.raises(ValueError, match="multiple of data_parallel"):
         Trainer(cfg, pts, cols, views)
+
+
+class TestFleet:
+    def test_shard_round_robin(self):
+        from spurfies_tpu.cli.fleet import shard_scans
+        scans = [f"scan{i}" for i in range(11)]
+        shards = [shard_scans(scans, 4, h) for h in range(4)]
+        # complete, disjoint, balanced within 1
+        flat = [s for sh in shards for s in sh]
+        assert sorted(flat) == sorted(scans)
+        sizes = [len(sh) for sh in shards]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_shard_validates_index(self):
+        from spurfies_tpu.cli.fleet import shard_scans
+        with pytest.raises(ValueError):
+            shard_scans(["a"], 2, 2)
+
+    def test_fleet_e2e_single_host(self, tmp_path, monkeypatch):
+        """Fleet CLI runs a (tiny) scene end-to-end on host 0 of 2 and
+        writes its manifest; host 1 gets the other scene."""
+        import dataclasses
+        monkeypatch.chdir(tmp_path)
+        from spurfies_tpu.data.synthetic import export_synthetic_own_data
+        export_synthetic_own_data("data", "s0", n_points=800, n_views=3,
+                                  img_res=(16, 16))
+        export_synthetic_own_data("data", "s1", n_points=800, n_views=3,
+                                  img_res=(16, 16))
+        from spurfies_tpu.cli import fleet
+        ov = [
+            "dataset.data_dir=own_data",
+            "model.max_shading_pts=8",
+            "model.ray_sampler.near=0.5", "model.ray_sampler.far=3.0",
+            "model.ray_sampler.n_samples=8",
+            "model.ray_sampler.n_samples_eval=16",
+            "model.ray_sampler.n_samples_extra=4",
+            "train.num_pixels=32", "train.opt_steps=2",
+            "train.render_freq=1000", "train.checkpoint_freq=1000",
+        ]
+        fleet.main(["--scans", "s0,s1", "--num-hosts", "2",
+                    "--host-index", "0"] + ov)
+        import json
+        with open("exps/fleet_host0.json") as f:
+            manifest = json.load(f)
+        assert list(manifest["scenes"]) == ["s0"]
