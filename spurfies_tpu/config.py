@@ -99,6 +99,24 @@ class LossConfig:
     local_weight: float = 0.5
     pseudo_weight: float = 0.5
     mask_weight: float = 1.0
+    cloud_anchor_weight: float = 0.0  # BEYOND-REFERENCE: L1 of sdf at the
+    #                                   input cloud points. The pseudo loss
+    #                                   anchors sdf=0 at the (near-skewed)
+    #                                   rendered depth, drifting the zero
+    #                                   set ~0.02 inside the cloud (mesh
+    #                                   bias, NOTES_ROUND2); the cloud
+    #                                   points are surface samples, so
+    #                                   anchoring them at 0 opposes the
+    #                                   drift at its source. 0 = reference
+    #                                   behavior.
+    fd_eikonal_weight: float = 0.0    # BEYOND-REFERENCE: finite-difference
+    #                                   eikonal at shading points. The
+    #                                   analytic eikonal is a NO-OP here
+    #                                   (frozen piecewise-linear decoder =>
+    #                                   d(grad)/d(latents) == 0 a.e. — the
+    #                                   reference has the same dead term);
+    #                                   the FD version restores unit-slope
+    #                                   pressure on the field.
     rgb_loss: str = "l1"              # "l1" | "mse"
 
 

@@ -58,6 +58,10 @@ def total_loss(outputs, ground_truth, cfg: LossConfig):
     )
     parts["local_loss"] = outputs.get("local_loss", jnp.asarray(0.0))
     parts["pseudo_loss"] = outputs.get("pseudo_pts_loss", jnp.asarray(0.0))
+    parts["cloud_anchor_loss"] = outputs.get("cloud_anchor_loss",
+                                             jnp.asarray(0.0))
+    parts["fd_eikonal_loss"] = outputs.get("fd_eikonal_loss",
+                                           jnp.asarray(0.0))
 
     loss = (
         cfg.rgb_weight * parts["rgb_loss"]
@@ -66,6 +70,8 @@ def total_loss(outputs, ground_truth, cfg: LossConfig):
         + cfg.local_weight * parts["local_loss"]
         + cfg.pseudo_weight * parts["pseudo_loss"]
         + cfg.mask_weight * parts["mask_loss"]
+        + cfg.cloud_anchor_weight * parts["cloud_anchor_loss"]
+        + cfg.fd_eikonal_weight * parts["fd_eikonal_loss"]
     )
     parts["loss"] = loss
     return loss, parts

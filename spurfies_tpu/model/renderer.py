@@ -226,6 +226,8 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
         "ray_mask": ray_mask,
         "pts_rendered": pts_rendered,
         "grad_theta": gradients,
+        "nbr_idx": nbr_idx,
+        "nbr_valid": nbr_valid,
         "cam_loc": cam_loc,
         "ray_dirs": ray_dirs,
     }
@@ -257,6 +259,65 @@ def pseudo_sdf_loss(params, scene, out, cfg: ModelConfig):
     valid = (sdf < field.SDF_FILLER / 2) & out["ray_mask"]
     abs_sdf = jnp.where(valid, jnp.abs(sdf), 0.0)
     return jnp.sum(abs_sdf) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def fd_eikonal_loss(params, scene, out, key, cfg: ModelConfig,
+                    eps: float = 5e-3):
+    """BEYOND-REFERENCE: finite-difference eikonal at shading points.
+
+    The analytic eikonal term (reference loss.py:47-49) is a NO-OP in this
+    architecture: the decoder is frozen and piecewise linear, so
+    d(grad_sdf)/d(latents) == 0 almost everywhere — nothing constrains the
+    field's metric, and the learned SDF goes flat away from the zero set
+    (measured |grad| ~ 0.2 near the cloud), letting the zero crossing
+    drift inward.  A central finite difference (s(x+eps*u) - s(x-eps*u))
+    / (2 eps) IS differentiable w.r.t. the latents with nonzero gradient,
+    restoring unit-slope pressure.  Neighbor indices are reused from the
+    center point (eps << query radius).  Gated by loss.fd_eikonal_weight.
+    """
+    valid = out["valid_pt"].reshape(-1)
+    x = out["xyz"].reshape(-1, 3)
+    idx = out["nbr_idx"].reshape(-1, cfg.k)
+    nbr_valid = out["nbr_valid"].reshape(-1, cfg.k)
+
+    u = jax.random.normal(key, x.shape)
+    u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-12)
+
+    sp, _ = field.aggregate_sdf(
+        params["frozen"], params["train"]["feats_geometry"], scene.points,
+        idx, nbr_valid, x + eps * u, cfg.rbf,
+    )
+    sm, _ = field.aggregate_sdf(
+        params["frozen"], params["train"]["feats_geometry"], scene.points,
+        idx, nbr_valid, x - eps * u, cfg.rbf,
+    )
+    fd = (sp - sm) / (2.0 * eps)
+    ok = valid & (jnp.abs(sp) < field.SDF_FILLER / 2) & (
+        jnp.abs(sm) < field.SDF_FILLER / 2
+    )
+    pen = jnp.where(ok, (jnp.abs(fd) - 1.0) ** 2, 0.0)
+    return jnp.sum(pen) / jnp.maximum(jnp.sum(ok), 1)
+
+
+def cloud_anchor_loss(params, scene, key, cfg: ModelConfig,
+                      n_points: int = 2048):
+    """BEYOND-REFERENCE: L1 of the SDF at sampled input-cloud points.
+
+    The neural points are DUSt3R surface samples; anchoring sdf=0 there
+    opposes the pseudo-loss depth-skew drift that pushes the zero set
+    ~0.02 inside the cloud (NOTES_ROUND2 mesh-bias diagnosis).  Gated by
+    loss.cloud_anchor_weight (0 = reference behavior).
+    """
+    sel = jax.random.randint(key, (n_points,), 0, scene.points.shape[0])
+    pts = scene.points[sel]
+    sdf = field.sdf_probe(
+        params["frozen"], params["train"]["feats_geometry"], scene, pts,
+        cfg.k, cfg.r, cfg.rbf, budget_frac=None,
+    )
+    valid = sdf < field.SDF_FILLER / 2
+    return jnp.sum(jnp.where(valid, jnp.abs(sdf), 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1
+    )
 
 
 def tv_loss(params, scene):

@@ -25,6 +25,8 @@ from spurfies_tpu.model.losses import total_loss
 from spurfies_tpu.model.networks import init_model_params
 from spurfies_tpu.model.neural_points import build_scene
 from spurfies_tpu.model.renderer import (
+    cloud_anchor_loss,
+    fd_eikonal_loss,
     pseudo_sdf_loss,
     render_rays,
     tv_loss,
@@ -100,6 +102,14 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
             out["tv_loss"] = tv_loss(params, scene)
             out["pseudo_pts_loss"] = pseudo_sdf_loss(params, scene, out,
                                                      mcfg)
+            if lcfg.cloud_anchor_weight > 0:
+                out["cloud_anchor_loss"] = cloud_anchor_loss(
+                    params, scene, jax.random.fold_in(key, 7), mcfg
+                )
+            if lcfg.fd_eikonal_weight > 0:
+                out["fd_eikonal_loss"] = fd_eikonal_loss(
+                    params, scene, out, jax.random.fold_in(key, 8), mcfg
+                )
         if use_local:
             from spurfies_tpu.model.local_loss import (
                 find_surface_depth,

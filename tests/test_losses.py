@@ -1,6 +1,7 @@
 """Loss-stack golden tests + NaN regressions."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,3 +92,100 @@ class TestTotal:
         b = jnp.full((2, 3), 0.5)
         np.testing.assert_allclose(float(rgb_loss(a, b, "l1")), 0.5)
         np.testing.assert_allclose(float(rgb_loss(a, b, "mse")), 0.25)
+
+
+class TestBeyondReferenceLosses:
+    """cloud_anchor + fd_eikonal (gated, 0 = reference behavior)."""
+
+    @pytest.fixture(scope="class")
+    def scene_setup(self):
+        from spurfies_tpu.config import ModelConfig, SamplerConfig
+        from spurfies_tpu.model.networks import init_model_params
+        from spurfies_tpu.model.neural_points import build_scene
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=(1500, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        pts = (0.5 * v).astype(np.float32)
+        cfg = ModelConfig(
+            max_shading_pts=16,
+            ray_sampler=SamplerConfig(near=0.5, far=3.0, n_samples=16,
+                                      n_samples_eval=32, n_samples_extra=8),
+        )
+        scene, latents = build_scene(jax.random.PRNGKey(0), pts, cfg,
+                                     rng.uniform(0, 255, (1500, 3)))
+        params = init_model_params(jax.random.PRNGKey(1), cfg)
+        params["train"].update(latents)
+        return cfg, scene, params
+
+    def test_cloud_anchor_finite_and_grads(self, scene_setup):
+        from spurfies_tpu.model.renderer import cloud_anchor_loss
+        cfg, scene, params = scene_setup
+
+        def loss(geo):
+            p = {"frozen": params["frozen"],
+                 "train": dict(params["train"], feats_geometry=geo)}
+            return cloud_anchor_loss(p, scene, jax.random.PRNGKey(2), cfg,
+                                     n_points=256)
+
+        val = loss(params["train"]["feats_geometry"])
+        assert np.isfinite(float(val)) and float(val) >= 0
+        g = jax.grad(loss)(params["train"]["feats_geometry"])
+        # the anchor MUST produce latent gradients (that's its purpose)
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+    def test_fd_eikonal_restores_latent_gradients(self, scene_setup):
+        """The analytic eikonal has zero latent gradient a.e. (piecewise-
+        linear frozen decoder); the FD version must not."""
+        from spurfies_tpu.model import field
+        from spurfies_tpu.model.renderer import fd_eikonal_loss
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        cfg, scene, params = scene_setup
+
+        x = scene.points[:64] + 0.01
+        idx, _ = query_grid(x, scene.table, scene.spec, k=cfg.k)
+        out = {
+            "valid_pt": (idx >= 0).any(-1).reshape(1, -1),
+            "xyz": x.reshape(1, -1, 3),
+            "nbr_idx": idx.reshape(1, -1, cfg.k),
+            "nbr_valid": (idx >= 0).reshape(1, -1, cfg.k),
+        }
+
+        def fd(geo):
+            p = {"frozen": params["frozen"],
+                 "train": dict(params["train"], feats_geometry=geo)}
+            return fd_eikonal_loss(p, scene, out, jax.random.PRNGKey(3),
+                                   cfg)
+
+        val = fd(params["train"]["feats_geometry"])
+        assert np.isfinite(float(val))
+        g = jax.grad(fd)(params["train"]["feats_geometry"])
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+        # contrast: analytic eikonal latent-gradient is exactly zero
+        def analytic(geo):
+            _, gr = field.sdf_and_grad(params["frozen"], geo, scene.points,
+                                       idx, idx >= 0, x, cfg.rbf)
+            return jnp.mean((jnp.linalg.norm(gr, axis=-1) - 1.0) ** 2)
+
+        ga = jax.grad(analytic)(params["train"]["feats_geometry"])
+        np.testing.assert_allclose(np.asarray(ga), 0.0, atol=1e-10)
+
+    def test_weights_zero_means_reference_loss(self):
+        from spurfies_tpu.config import LossConfig
+        from spurfies_tpu.model.losses import total_loss
+        out = {
+            "rgb_values": jnp.zeros((4, 3)),
+            "grad_theta": jnp.ones((4, 2, 3)),
+            "valid_pt": jnp.ones((4, 2), bool),
+            "weights": jnp.full((4, 2), 0.4),
+        }
+        gt = {"rgb": jnp.zeros((1, 4, 3)), "mask": jnp.ones((1, 4, 3))}
+        base, parts0 = total_loss(out, gt, LossConfig())
+        out2 = dict(out, cloud_anchor_loss=jnp.asarray(5.0),
+                    fd_eikonal_loss=jnp.asarray(7.0))
+        same, _ = total_loss(out2, gt, LossConfig())
+        np.testing.assert_allclose(float(base), float(same))
+        more, _ = total_loss(
+            out2, gt, LossConfig(cloud_anchor_weight=0.1,
+                                 fd_eikonal_weight=0.1))
+        assert float(more) > float(same)

@@ -172,6 +172,7 @@ class TestFleet:
         with pytest.raises(ValueError):
             shard_scans(["a"], 2, 2)
 
+    @pytest.mark.slow
     def test_fleet_e2e_single_host(self, tmp_path, monkeypatch):
         """Fleet CLI runs a (tiny) scene end-to-end on host 0 of 2 and
         writes its manifest; host 1 gets the other scene."""
