@@ -75,9 +75,8 @@ def read_images_txt(path: str) -> list:
 
 def colmap_to_json(sparse_dir: str, out_path: str,
                    image_prefix: str = "image"):
-    """Convert ``sparse_dir/{cameras.txt,images.txt}`` to transforms json."""
-    cams = read_cameras_txt(os.path.join(sparse_dir, "cameras.txt"))
-    images = read_images_txt(os.path.join(sparse_dir, "images.txt"))
+    """Convert a COLMAP sparse model (.bin or .txt) to transforms json."""
+    cams, images = read_model(sparse_dir)
     images.sort(key=lambda x: x[0])
 
     cam = cams[images[0][1]]
@@ -96,3 +95,81 @@ def colmap_to_json(sparse_dir: str, out_path: str,
     with open(out_path, "w") as f:
         json.dump(meta, f, indent=2)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Binary model readers (real COLMAP runs export .bin by default; the text
+# format above needs an extra `colmap model_converter` step).  Format spec:
+# COLMAP src/colmap/scene/reconstruction_io.cc.
+# ---------------------------------------------------------------------------
+
+_BIN_CAMERA_PARAMS = {
+    # model_id -> (name, num_params)
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4),
+    2: ("SIMPLE_RADIAL", 4), 3: ("RADIAL", 5),
+    4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8), 6: ("FULL_OPENCV", 12),
+}
+
+
+def read_cameras_bin(path: str) -> dict:
+    """camera_id -> dict(model, w, h, fl_x, fl_y, cx, cy) from cameras.bin."""
+    import struct
+
+    cams = {}
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            name, n_params = _BIN_CAMERA_PARAMS[model_id]
+            p = struct.unpack(f"<{n_params}d", f.read(8 * n_params))
+            if name == "SIMPLE_PINHOLE":
+                fl_x = fl_y = p[0]; cx, cy = p[1], p[2]
+            elif name in ("PINHOLE", "OPENCV", "FULL_OPENCV",
+                          "OPENCV_FISHEYE"):
+                fl_x, fl_y, cx, cy = p[0], p[1], p[2], p[3]
+            else:  # SIMPLE_RADIAL / RADIAL
+                fl_x = fl_y = p[0]; cx, cy = p[1], p[2]
+            cams[cam_id] = {
+                "model": name, "w": int(w), "h": int(h),
+                "fl_x": fl_x, "fl_y": fl_y, "cx": cx, "cy": cy,
+            }
+    return cams
+
+
+def read_images_bin(path: str) -> list:
+    """[(name, camera_id, c2w 4x4)] from images.bin."""
+    import struct
+
+    out = []
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            _img_id = struct.unpack("<I", f.read(4))[0]
+            q = np.array(struct.unpack("<4d", f.read(32)))
+            t = np.array(struct.unpack("<3d", f.read(24)))
+            cam_id = struct.unpack("<I", f.read(4))[0]
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name += c
+            n_pts = struct.unpack("<Q", f.read(8))[0]
+            f.read(24 * n_pts)   # skip 2D points (x, y double + id int64)
+            R = qvec_to_rot(q)
+            c2w = np.eye(4)
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = -R.T @ t
+            out.append((name.decode(), cam_id, c2w))
+    return out
+
+
+def read_model(sparse_dir: str):
+    """(cams, images) from a COLMAP sparse dir — .bin preferred, .txt
+    fallback."""
+    cb = os.path.join(sparse_dir, "cameras.bin")
+    if os.path.exists(cb):
+        return (read_cameras_bin(cb),
+                read_images_bin(os.path.join(sparse_dir, "images.bin")))
+    return (read_cameras_txt(os.path.join(sparse_dir, "cameras.txt")),
+            read_images_txt(os.path.join(sparse_dir, "images.txt")))

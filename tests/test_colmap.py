@@ -48,3 +48,63 @@ def test_full_convert(tmp_path):
     assert loaded["fl_y"] == 510.0
     assert len(loaded["frames"]) == 2
     assert loaded["frames"][0]["file_path"] == "image/a.png"
+
+
+class TestBinaryModel:
+    """Binary COLMAP model readers must agree with the text readers on the
+    same reconstruction (bin is what real COLMAP runs emit)."""
+
+    @staticmethod
+    def _write_bin(tmp, cams, images):
+        import struct
+        with open(tmp / "cameras.bin", "wb") as f:
+            f.write(struct.pack("<Q", len(cams)))
+            for cid, c in cams.items():
+                f.write(struct.pack("<iiQQ", cid, 1, c["w"], c["h"]))
+                f.write(struct.pack("<4d", c["fl_x"], c["fl_y"],
+                                    c["cx"], c["cy"]))
+        with open(tmp / "images.bin", "wb") as f:
+            f.write(struct.pack("<Q", len(images)))
+            for i, (name, cid, q, t) in enumerate(images):
+                f.write(struct.pack("<I", i + 1))
+                f.write(struct.pack("<4d", *q))
+                f.write(struct.pack("<3d", *t))
+                f.write(struct.pack("<I", cid))
+                f.write(name.encode() + b"\x00")
+                f.write(struct.pack("<Q", 0))
+
+    def test_bin_matches_txt(self, tmp_path):
+        from spurfies_tpu.prep.colmap import (
+            read_cameras_bin,
+            read_cameras_txt,
+            read_images_bin,
+            read_images_txt,
+            read_model,
+        )
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        t = rng.normal(size=3)
+        cams = {1: {"model": "PINHOLE", "w": 640, "h": 480,
+                    "fl_x": 500.0, "fl_y": 510.0, "cx": 320.0, "cy": 240.0}}
+        self._write_bin(tmp_path, cams, [("a.png", 1, q, t)])
+
+        with open(tmp_path / "cameras.txt", "w") as f:
+            f.write("# comment\n1 PINHOLE 640 480 500 510 320 240\n")
+        with open(tmp_path / "images.txt", "w") as f:
+            f.write("# c\n")
+            f.write("1 " + " ".join(str(v) for v in q) + " "
+                    + " ".join(str(v) for v in t) + " 1 a.png\n\n")
+
+        cb = read_cameras_bin(str(tmp_path / "cameras.bin"))
+        ct = read_cameras_txt(str(tmp_path / "cameras.txt"))
+        assert cb[1]["fl_x"] == ct[1]["fl_x"] == 500.0
+        assert cb[1]["w"] == ct[1]["w"]
+
+        ib = read_images_bin(str(tmp_path / "images.bin"))
+        it = read_images_txt(str(tmp_path / "images.txt"))
+        assert ib[0][0] == it[0][0] == "a.png"
+        np.testing.assert_allclose(ib[0][2], it[0][2], atol=1e-9)
+
+        # read_model prefers .bin
+        cams_m, imgs_m = read_model(str(tmp_path))
+        np.testing.assert_allclose(imgs_m[0][2], ib[0][2])

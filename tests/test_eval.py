@@ -211,3 +211,62 @@ class TestVisibilityCleaning:
         outer_faces = faces[~inner]
         vv, fv = clean_mesh_by_visibility(verts, outer_faces, mats, res)
         assert len(fv) >= 0.9 * len(outer_faces)
+
+
+class TestNvsProtocol:
+    """Reference metric protocol (eval_spurfies.py:226-272): 8-bit PNG
+    roundtrip on the prediction; WHITE foreground compositing."""
+
+    def test_quantize_png_roundtrip(self):
+        from spurfies_tpu.eval.nvs import quantize_png
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+        q = quantize_png(img)
+        # exactly representable on the 0..255/255 lattice
+        np.testing.assert_allclose(q * 255.0, np.round(q * 255.0),
+                                   atol=1e-6)
+        assert np.abs(q - img).max() <= 0.5 / 255.0 + 1e-6
+        # out-of-range values clip like PNG encoding does
+        np.testing.assert_allclose(
+            quantize_png(np.array([[[-0.2, 0.5, 1.7]]])),
+            [[[0.0, 0.5019608, 1.0]]], rtol=1e-5)
+
+    def test_composite_is_white(self):
+        from spurfies_tpu.eval.nvs import composite_foreground
+        img = np.full((2, 2, 3), 0.25, np.float32)
+        mask = np.zeros((2, 2, 3), np.float32)
+        mask[0, 0] = 1.0
+        out = composite_foreground(img, mask)
+        # background must be WHITE (reference rgb*mask + (1-mask))
+        np.testing.assert_allclose(out[1, 1], 1.0)
+        np.testing.assert_allclose(out[0, 0], 0.25)
+
+    def test_evaluate_views_psnr_reflects_quantization(self, rng):
+        from spurfies_tpu.eval.nvs import evaluate_views
+
+        class SD:
+            img_res = (4, 4)
+            uv = np.zeros((16, 2), np.float32)
+            train = None
+
+        class VS:
+            ids = [0]
+            rgb = [rng.uniform(0, 1, (16, 3)).astype(np.float32)]
+            mask = [np.ones((16, 3), np.float32)]
+            pose = [np.eye(4, dtype=np.float32)]
+            intrinsics = [np.eye(4, dtype=np.float32)]
+
+        sd = SD(); sd.eval = VS()
+        pred = VS.rgb[0] + 1e-4   # sub-quantum perturbation
+
+        def render(params, uv, pose, K, key):
+            return {"rgb_values": pred}
+
+        rq = evaluate_views(render, None, sd, save_images=False,
+                            quantize=True)
+        rf = evaluate_views(render, None, sd, save_images=False,
+                            quantize=False)
+        # float scoring sees the 1e-4 error; quantized scoring snaps the
+        # prediction onto the 8-bit lattice (gt is not on-lattice here, so
+        # psnr is finite but different)
+        assert rq["psnr"][0] != rf["psnr"][0]
