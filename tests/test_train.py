@@ -101,3 +101,27 @@ def test_checkpoint_roundtrip(tmp_path):
     a = np.asarray(trainer.state.params["feats_color"])
     b = np.asarray(t2.state.params["feats_color"])
     np.testing.assert_allclose(a, b)
+
+
+def test_beyond_reference_losses_in_train_step():
+    """cloud_anchor + fd_eikonal active in the full jitted scanned step:
+    losses finite, parts reported, training proceeds."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY,
+        loss=dataclasses.replace(TINY.loss, cloud_anchor_weight=0.1,
+                                 fd_eikonal_weight=0.1),
+        train=dataclasses.replace(TINY.train, num_pixels=64),
+    )
+    pts, cols, views = make_synthetic_scene(
+        n_points=1500, n_views=2, img_res=(24, 24)
+    )
+    trainer = Trainer(cfg, pts, cols, views)
+    parts_seen = []
+    trainer.run(2, window=2, callback=lambda s, m: parts_seen.append(m))
+    m = parts_seen[-1]
+    for key in ("cloud_anchor_loss", "fd_eikonal_loss", "loss"):
+        assert key in m and np.isfinite(float(m[key])), key
+    assert float(m["cloud_anchor_loss"]) >= 0
+    assert float(m["fd_eikonal_loss"]) >= 0
