@@ -173,3 +173,59 @@ def read_model(sparse_dir: str):
                 read_images_bin(os.path.join(sparse_dir, "images.bin")))
     return (read_cameras_txt(os.path.join(sparse_dir, "cameras.txt")),
             read_images_txt(os.path.join(sparse_dir, "images.txt")))
+
+
+def run_colmap_pipeline(images_dir: str, work_dir: str,
+                        camera_model: str = "OPENCV",
+                        matcher: str = "exhaustive_matcher",
+                        colmap_bin: str = "colmap") -> str:
+    """Drive COLMAP end-to-end like reference scripts/colmap2nerf.py:
+    feature_extractor -> matcher -> mapper; returns the sparse model dir.
+
+    Requires the ``colmap`` binary on PATH (external tool, like the
+    reference); raises FileNotFoundError with guidance when absent.
+    """
+    import shutil
+    import subprocess
+
+    if shutil.which(colmap_bin) is None:
+        raise FileNotFoundError(
+            f"'{colmap_bin}' not found on PATH — install COLMAP or run it "
+            "elsewhere and point colmap_to_json at the sparse model dir"
+        )
+
+    db = os.path.join(work_dir, "database.db")
+    sparse = os.path.join(work_dir, "sparse")
+    os.makedirs(sparse, exist_ok=True)
+
+    def run(*args):
+        subprocess.run([colmap_bin, *args], check=True)
+
+    run("feature_extractor", "--database_path", db,
+        "--image_path", images_dir,
+        "--ImageReader.camera_model", camera_model,
+        "--ImageReader.single_camera", "1")
+    run(matcher, "--database_path", db)
+    run("mapper", "--database_path", db, "--image_path", images_dir,
+        "--output_path", sparse)
+
+    model = os.path.join(sparse, "0")
+    if not os.path.isdir(model):
+        raise RuntimeError(f"COLMAP mapper produced no model under {sparse}")
+    return model
+
+
+def extract_frames(video_path: str, images_dir: str, fps: float = 2.0,
+                   ffmpeg_bin: str = "ffmpeg"):
+    """ffmpeg frame extraction (reference colmap2nerf.py --video_in)."""
+    import shutil
+    import subprocess
+
+    if shutil.which(ffmpeg_bin) is None:
+        raise FileNotFoundError(f"'{ffmpeg_bin}' not found on PATH")
+    os.makedirs(images_dir, exist_ok=True)
+    subprocess.run(
+        [ffmpeg_bin, "-i", video_path, "-qscale:v", "1", "-qmin", "1",
+         "-vf", f"fps={fps}", os.path.join(images_dir, "%04d.jpg")],
+        check=True,
+    )

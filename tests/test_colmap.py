@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from spurfies_tpu.prep.colmap import (
     colmap_to_json,
@@ -108,3 +109,40 @@ class TestBinaryModel:
         # read_model prefers .bin
         cams_m, imgs_m = read_model(str(tmp_path))
         np.testing.assert_allclose(imgs_m[0][2], ib[0][2])
+
+
+class TestOrchestration:
+    def test_missing_colmap_is_clear(self, tmp_path):
+        from spurfies_tpu.prep.colmap import run_colmap_pipeline
+        with pytest.raises(FileNotFoundError, match="not found on PATH"):
+            run_colmap_pipeline(str(tmp_path), str(tmp_path),
+                                colmap_bin="definitely-not-colmap")
+
+    def test_pipeline_invokes_colmap(self, tmp_path, monkeypatch):
+        """Stub colmap executable records the invocation sequence."""
+        import os
+        import stat
+        fake = tmp_path / "bin" / "colmap"
+        fake.parent.mkdir()
+        log = tmp_path / "calls.log"
+        # the stub logs calls and creates the model dir mapper claims to
+        fake.write_text(
+            "#!/bin/sh\n"
+            f"echo \"$@\" >> {log}\n"
+            "prev=''\n"
+            "for a in \"$@\"; do\n"
+            "  if [ \"$prev\" = '--output_path' ]; then mkdir -p \"$a/0\"; fi\n"
+            "  prev=\"$a\"\n"
+            "done\n"
+        )
+        fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{fake.parent}:{os.environ['PATH']}")
+
+        from spurfies_tpu.prep.colmap import run_colmap_pipeline
+        model = run_colmap_pipeline(str(tmp_path / "imgs"),
+                                    str(tmp_path / "work"))
+        calls = log.read_text().strip().splitlines()
+        assert calls[0].startswith("feature_extractor")
+        assert calls[1].startswith("exhaustive_matcher")
+        assert calls[2].startswith("mapper")
+        assert model.endswith("sparse/0")
