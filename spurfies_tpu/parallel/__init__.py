@@ -1,5 +1,1 @@
-from spurfies_tpu.parallel.mesh import (
-    make_mesh,
-    make_sharded_train_step,
-    shard_views,
-)
+from spurfies_tpu.parallel.mesh import make_mesh, shard_views

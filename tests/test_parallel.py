@@ -13,7 +13,7 @@ from spurfies_tpu.config import (
     TrainConfig,
 )
 from spurfies_tpu.data.synthetic import make_synthetic_scene
-from spurfies_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+from spurfies_tpu.parallel.mesh import make_mesh
 from spurfies_tpu.train.trainer import Trainer
 
 TINY = Config(
@@ -28,70 +28,10 @@ TINY = Config(
 )
 
 
-@pytest.fixture(scope="module")
-def setup():
-    pts, cols, views = make_synthetic_scene(n_points=1500, n_views=2,
-                                            img_res=(24, 24))
-    trainer = Trainer(TINY, pts, cols, views)
-    return trainer
-
-
-def _batch(trainer, n_pix):
-    uv = np.asarray(trainer.views["uv"])[:n_pix]
-    return {
-        "inputs": {
-            "uv": jnp.asarray(uv)[None],
-            "pose": trainer.views["pose"][0][None],
-            "intrinsics": trainer.views["intrinsics"][0][None],
-        },
-        "gt": {
-            "rgb": trainer.views["rgb"][0][:n_pix],
-            "mask": trainer.views["mask"][0][:n_pix],
-        },
-    }
-
-
 def test_device_count():
     assert jax.device_count() >= 8, (
         "conftest must provide 8 virtual CPU devices"
     )
-
-
-@pytest.mark.slow
-def test_sharded_step_runs(setup):
-    trainer = setup
-    mesh = make_mesh(8)
-    step, place = make_sharded_train_step(
-        TINY, trainer.scene, trainer.frozen, trainer.tx, mesh
-    )
-    batch = place(_batch(trainer, TINY.train.num_pixels))
-    state, parts = step(trainer.state, batch, jax.random.PRNGKey(0))
-    assert np.isfinite(float(parts["loss"]))
-    assert int(state.step) == 1
-
-
-@pytest.mark.slow
-def test_sharded_matches_single_device(setup):
-    """Ray sharding must not change the math: same batch, same loss and
-    same parameter update on a 1-device and an 8-device mesh."""
-    trainer = setup
-    batch_raw = _batch(trainer, TINY.train.num_pixels)
-
-    results = {}
-    for n in (1, 8):
-        mesh = make_mesh(n)
-        step, place = make_sharded_train_step(
-            TINY, trainer.scene, trainer.frozen, trainer.tx, mesh
-        )
-        state, parts = step(trainer.state, place(batch_raw),
-                            jax.random.PRNGKey(0))
-        results[n] = (float(parts["loss"]),
-                      np.asarray(state.params["feats_color"]))
-
-    # f32 cross-device reduction order differs from single-device: allow
-    # small drift (adam normalizes grads, so param deltas sit near the lr)
-    assert results[1][0] == pytest.approx(results[8][0], rel=1e-3)
-    np.testing.assert_allclose(results[1][1], results[8][1], atol=5e-4)
 
 
 @pytest.mark.slow
