@@ -230,6 +230,13 @@ def query_grid(x: jnp.ndarray, qt: QueryTable, spec: VoxelGridSpec,
       (idx ``[M, k]`` int32, ``-1`` missing; d2 ``[M, k]``, inf invalid),
       nearest-first.
     """
+    # Neighbor SELECTION is non-differentiable (the reference queries its
+    # CUDA grid under no_grad, ray_sampler.py:402 / pointneus_disent.py's
+    # pseudo path, and recomputes differentiable quantities from idx) —
+    # stop the gradient here so differentiated callers (pseudo-SDF loss at
+    # large ray counts) never try to linearize through the Pallas select.
+    x = jax.lax.stop_gradient(x)
+
     if sort_queries:
         order = jnp.argsort(_cell_ids(x, spec))
         idx_s, d2_s = query_grid(x[order], qt, spec, k=k)
