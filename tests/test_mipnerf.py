@@ -58,3 +58,19 @@ def test_load_garden(tmp_path):
 def test_unknown_scene(tmp_path):
     with pytest.raises(NotImplementedError):
         load_mipnerf(str(tmp_path), "bicycle")
+
+
+def test_mipnerf_scene_overrides():
+    """garden/stump get the ±2 voxel-grid bounds (reference
+    pointneus_disent.py:45-53); DTU keeps ±1."""
+    from spurfies_tpu.cli.train import apply_scene_overrides
+    from spurfies_tpu.config import Config, DataConfig
+
+    cfg = Config(dataset=DataConfig(data_dir="mipnerf"))
+    out = apply_scene_overrides(cfg, "garden")
+    assert out.model.scene_lo == (-2.0, -2.0, -2.0)
+    assert out.model.scene_hi == (2.0, 2.0, 2.0)
+
+    dtu = Config(dataset=DataConfig(data_dir="dtu"))
+    out = apply_scene_overrides(dtu, "scan24")
+    assert out.model.scene_lo == (-1.0, -1.0, -1.0)
