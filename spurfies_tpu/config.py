@@ -136,6 +136,17 @@ class TrainConfig:
     render_freq: int = 500
     split_n_pixels: int = 500
     fast_iters: int = 1               # sampler iterations during training
+    eval_iters: int = 0               # sampler iterations for eval renders;
+    #                                   0 = sampler.max_total_iters (the
+    #                                   reference's fast=-1 full-quality
+    #                                   path, train.py:522). Small values
+    #                                   trade render quality for speed and
+    #                                   keep dryrun/CI compiles cheap.
+    render_chunk: int = 16384         # max rays per jitted eval-render call;
+    #                                   actual chunk adapts down to the image
+    #                                   size (padding a 576-ray image to 16k
+    #                                   cost 28x compute + a huge sharded
+    #                                   compile — round-2 dryrun timeout)
     seed: int = 0
     data_parallel: int = 1            # ray-sharded devices
 

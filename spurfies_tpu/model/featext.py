@@ -64,17 +64,24 @@ def res_layer(x, blocks):
     return x
 
 
-def featext_apply(params, x):
+def featext_apply(params, x, return_stages: bool = False):
     """x: ``[N, H, W, 3]`` ImageNet-normalized. Returns three NHWC feature
     maps at 1/8, 1/4, 1/2 input resolution, each 32 channels (reference
-    forward, feat_utils.py:370-374)."""
+    forward, feat_utils.py:370-374).
+
+    return_stages: also return a dict of named intermediate activations
+    (init / enc{i} / dec{i} / f{1,2,3}) for layer-by-layer checkpoint
+    parity validation (scripts/validate_checkpoints.py)."""
+    stages = {}
     out = conv(x, params["init_conv"]["w"], stride=2)
     out = jax.nn.relu(bn(out, params["init_bn"]))
+    stages["init"] = out
 
     enc_out = []
-    for stage in params["enc"]:
+    for i, stage in enumerate(params["enc"]):
         out = res_layer(out, stage)
         enc_out.append(out)
+        stages[f"enc{i}"] = out
 
     dec_out = [out]
     x_ = out
@@ -84,8 +91,12 @@ def featext_apply(params, x):
         x_ = conv(x_, d["post"]["w"])
         x_ = res_layer(x_, d["res"])
         dec_out.append(x_)
+        stages[f"dec{i}"] = x_
 
     f1 = conv(dec_out[0], params["head1"]["w"])
     f2 = conv(dec_out[1], params["head2"]["w"])
     f3 = conv(dec_out[2], params["head3"]["w"])
+    stages.update(f1=f1, f2=f2, f3=f3)
+    if return_stages:
+        return (f1, f2, f3), stages
     return f1, f2, f3

@@ -173,16 +173,26 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
     return train_window, train_step
 
 
-def make_render_fn(cfg: Config, chunk: int = 16384, mesh=None):
+def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
+                   iters: int | None = None):
     """Full-image eval renderer (reference render_step, train.py:399-472).
 
-    Renders in fixed ``chunk``-ray slices under one jit; returns stacked
-    dense outputs for PSNR / plotting.  scene/frozen are traced args (see
+    Renders in ``chunk``-ray slices under one jit; returns stacked dense
+    outputs for PSNR / plotting.  scene/frozen are traced args (see
     make_train_step note on closure constants).  With ``mesh``, each
     chunk's rays are sharded across the mesh (multi-chip eval render).
+
+    The chunk ADAPTS DOWN to the image: a 48x64 validation render is padded
+    to the next 128*dp multiple, not to the full TPU-tuned chunk (which cost
+    28x compute on the round-2 dryrun and blew up its sharded CPU compile).
     """
     mcfg = cfg.model
-    iters = mcfg.ray_sampler.max_total_iters
+    if chunk is None:
+        chunk = cfg.train.render_chunk
+    if iters is None:
+        iters = cfg.train.eval_iters or mcfg.ray_sampler.max_total_iters
+    dp = mesh.devices.size if mesh is not None else 1
+    align = 128 * dp  # lane-width multiple, divisible across the mesh
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -202,12 +212,13 @@ def make_render_fn(cfg: Config, chunk: int = 16384, mesh=None):
 
     def render_image(tp, scene, frozen, uv, pose, intrinsics, key):
         n = uv.shape[0]
-        pad = (-n) % chunk
+        eff = min(chunk, -(-n // align) * align)
+        pad = (-n) % eff
         uv_p = np.pad(np.asarray(uv), ((0, pad), (0, 0)))
         outs = []
-        for i in range(0, n + pad, chunk):
+        for i in range(0, n + pad, eff):
             inputs = {
-                "uv": jnp.asarray(uv_p[i:i + chunk])[None],
+                "uv": jnp.asarray(uv_p[i:i + eff])[None],
                 "pose": pose[None],
                 "intrinsics": intrinsics[None],
             }
