@@ -98,6 +98,15 @@ def load_ply_mesh(path):
         return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
 
 
+def save_obj(path, verts, faces):
+    """Minimal OBJ writer (fixtures, debugging exports)."""
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in faces:
+            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+
+
 def load_mesh(path):
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
@@ -188,6 +197,46 @@ def _point_tri_dist_sq(q, v0, e1, e2):
     return np.where(inside, d_in, best_edge)
 
 
+def orient_faces(faces):
+    """Make triangle winding consistent across each connected component
+    (BFS over shared edges, flipping when a shared edge runs the same
+    direction in both faces).  Generalized winding numbers need this —
+    marching-tetrahedra output and many ShapeNet meshes are unoriented,
+    and mixed winding makes signed solid angles cancel."""
+    faces = np.asarray(faces).copy()
+    edge_map = {}
+    for fi, tri in enumerate(faces):
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+            edge_map.setdefault((min(a, b), max(a, b)), []).append(fi)
+
+    n = len(faces)
+    visited = np.zeros(n, dtype=bool)
+    from collections import deque
+
+    def directed_edges(tri):
+        return ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0]))
+
+    for seed in range(n):
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        queue = deque([seed])
+        while queue:
+            fi = queue.popleft()
+            own = set(directed_edges(faces[fi]))
+            for a, b in own:
+                for fj in edge_map[(min(a, b), max(a, b))]:
+                    if visited[fj]:
+                        continue
+                    visited[fj] = True
+                    # consistent orientation: the shared edge must run in
+                    # OPPOSITE directions in the two faces
+                    if any(e in own for e in directed_edges(faces[fj])):
+                        faces[fj] = faces[fj][::-1]
+                    queue.append(fj)
+    return faces
+
+
 def _winding_number(q, v0, v1, v2):
     """Generalized winding number per query (sum of signed solid angles /
     4π; ~1 inside, ~0 outside).  Van Oosterom–Strackee formula."""
@@ -209,8 +258,10 @@ def signed_distance(verts, faces, queries, chunk: int = 256):
 
     O(Q·F) vectorized numpy, chunked over queries to bound memory
     (~chunk·F temporaries).  Corpus prep is offline; a 50k-face mesh at
-    8k queries runs in ~a minute.
+    8k queries runs in ~a minute.  Faces are orientation-normalized first
+    (winding numbers cancel on mixed-wound meshes).
     """
+    faces = orient_faces(faces)
     v0, v1, v2 = (verts[faces[:, i]].astype(np.float64) for i in range(3))
     e1, e2 = v1 - v0, v2 - v0
     q64 = queries.astype(np.float64)
@@ -220,7 +271,9 @@ def signed_distance(verts, faces, queries, chunk: int = 256):
         d2 = _point_tri_dist_sq(q, v0, e1, e2)
         dist = np.sqrt(np.maximum(d2.min(-1), 0.0))
         wind = _winding_number(q, v0, v1, v2)
-        out[i:i + chunk] = np.where(wind > 0.5, -dist, dist)
+        # |W| ~ 1 inside, ~ 0 outside, for EITHER consistent face
+        # orientation (outward or inward winding flips W's sign globally)
+        out[i:i + chunk] = np.where(np.abs(wind) > 0.5, -dist, dist)
     return out
 
 

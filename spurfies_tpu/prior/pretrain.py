@@ -51,8 +51,13 @@ class PriorConfig:
     qcap: int = 64
 
 
-def build_corpus(cfg: PriorConfig):
-    """Generate shapes and stack into static arrays + query tables."""
+def build_corpus(cfg: PriorConfig, shapes=None):
+    """Stack shapes into static arrays + query tables.
+
+    shapes: optional pre-built list of shape dicts (surface/query/query_sdf
+    — the protocol shared by prior.shapes.sample_shape and
+    prior.mesh_corpus.mesh_to_shape).  Default: procedural primitives.
+    """
     rng = np.random.default_rng(cfg.seed)
     spec = VoxelGridSpec(
         lo=(-cfg.bounds,) * 3, hi=(cfg.bounds,) * 3, qcap=cfg.qcap
@@ -60,10 +65,21 @@ def build_corpus(cfg: PriorConfig):
 
     from spurfies_tpu.prior.shapes import sample_shape
 
+    if shapes is not None and len(shapes) != cfg.n_shapes:
+        raise ValueError(
+            f"got {len(shapes)} shapes but cfg.n_shapes={cfg.n_shapes}"
+        )
+
     pts_all, mask_all, q_all, qs_all = [], [], [], []
     tables_idx, tables_pos = [], []
-    for _ in range(cfg.n_shapes):
-        sh = sample_shape(rng, n_query=cfg.n_query, spacing=cfg.spacing)
+    for i in range(cfg.n_shapes):
+        sh = (shapes[i] if shapes is not None else
+              sample_shape(rng, n_query=cfg.n_query, spacing=cfg.spacing))
+        if len(sh["query"]) < cfg.n_query:
+            raise ValueError(
+                f"shape {i}: {len(sh['query'])} queries < cfg.n_query="
+                f"{cfg.n_query}"
+            )
         pts = sh["surface"][: cfg.n_surface_cap]
         n = len(pts)
         pad = cfg.n_surface_cap - n
@@ -161,12 +177,16 @@ def make_prior_train_step(cfg: PriorConfig, spec, tx):
 
 
 def pretrain(cfg: PriorConfig = PriorConfig(), log_every: int = 500,
-             callback=None):
-    """Run pretraining; returns (params, history)."""
+             callback=None, shapes=None):
+    """Run pretraining; returns (params, history).
+
+    shapes: optional pre-built shape dicts (e.g. from
+    prior.mesh_corpus.build_shapes_from_meshes — the ShapeNet-ready path).
+    """
     from spurfies_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    corpus, spec = build_corpus(cfg)
+    corpus, spec = build_corpus(cfg, shapes=shapes)
     key = jax.random.PRNGKey(cfg.seed)
     params = init_prior_params(key, cfg)
 
@@ -201,6 +221,74 @@ def pretrain(cfg: PriorConfig = PriorConfig(), log_every: int = 500,
 def frozen_params(params):
     """Extract the decoder in Trainer.load_frozen format."""
     return params["decoder"]
+
+
+def eval_holdout(decoder, shapes, cfg: PriorConfig, fit_steps: int = 1500,
+                 seed: int = 0):
+    """Held-out SDF L1 of a FROZEN decoder on unseen shapes.
+
+    Auto-decoder protocol (exactly how the prior is consumed per-scene,
+    reference train.py:124-157): fresh latents are optimized against the
+    frozen decoder on half of each shape's queries; L1 is reported on the
+    other half.  Returns mean held-out L1 across shapes — the gate for
+    comparing procedural- vs mesh-corpus-trained priors.
+    """
+    holdout_cfg = dataclasses.replace(cfg, n_shapes=len(shapes))
+    corpus, spec = build_corpus(holdout_cfg, shapes=shapes)
+    half = cfg.n_query // 2
+
+    tx = optax.adam(cfg.latent_lr)
+    frozen = {"decoder": decoder}
+
+    from spurfies_tpu.ops.voxel_grid import QueryTable, query_grid
+
+    def shape_sdf(latents, s, x):
+        qt = QueryTable(
+            idx=corpus["table_idx"][s], pos=corpus["table_pos"][s], r=cfg.r
+        )
+        idx, _ = query_grid(x, qt, spec, k=cfg.k)
+        valid = idx >= 0
+        sdf, _ = field.aggregate_sdf(
+            frozen["decoder"], latents, corpus["points"][s], idx, valid, x,
+            cfg.rbf,
+        )
+        return sdf, jnp.any(valid, -1)
+
+    def masked_l1(latents, s, x, gt):
+        sdf, has = shape_sdf(latents, s, x)
+        l1 = jnp.where(has, jnp.abs(sdf - gt), 0.0)
+        return jnp.sum(l1) / jnp.maximum(jnp.sum(has), 1)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def fit(latents, s, key, n_steps: int):
+        opt_state = tx.init(latents)
+
+        def step(carry, k):
+            lat, opt = carry
+            qidx = jax.random.choice(k, half, (cfg.batch_queries,))
+            x = corpus["query"][s][qidx]
+            gt = corpus["query_sdf"][s][qidx]
+            g = jax.grad(masked_l1)(lat, s, x, gt)
+            upd, opt = tx.update(g, opt, lat)
+            return (optax.apply_updates(lat, upd), opt), None
+
+        (latents, _), _ = jax.lax.scan(
+            step, (latents, opt_state), jax.random.split(key, n_steps)
+        )
+        return latents
+
+    key = jax.random.PRNGKey(seed)
+    l1s = []
+    for s in range(len(shapes)):
+        key, kl, kf = jax.random.split(key, 3)
+        lat = 0.01 * jax.random.normal(
+            kl, (cfg.n_surface_cap, cfg.latent_dim)
+        )
+        lat = fit(lat, jnp.asarray(s), kf, fit_steps)
+        l1 = masked_l1(lat, jnp.asarray(s), corpus["query"][s][half:],
+                       corpus["query_sdf"][s][half:])
+        l1s.append(float(l1))
+    return float(np.mean(l1s)), l1s
 
 
 def save_prior(path: str, params):
