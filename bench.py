@@ -25,19 +25,13 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 8.0e3
 
 
-def main():
+def _time_scene(pts, cols, views):
     from spurfies_tpu.config import Config, ModelConfig, TrainConfig
-    from spurfies_tpu.data.synthetic import make_synthetic_scene
     from spurfies_tpu.train.trainer import Trainer
 
     cfg = Config(
         model=ModelConfig(),          # reference production knobs
         train=TrainConfig(num_pixels=1024, fast_iters=1),
-    )
-    # DTU-scale point cloud: DUSt3R FPS-subsamples to ~0.025 spacing
-    # (dust3r_inference.py:69-105) -> ~8k neural points on an object scene
-    pts, cols, views = make_synthetic_scene(
-        n_points=8000, n_views=3, img_res=(192, 256)
     )
     trainer = Trainer(cfg, pts, cols, views)
 
@@ -58,13 +52,36 @@ def main():
     trainer.run(n_steps, window=window)
     sync()
     dt = time.perf_counter() - t0
+    return n_steps * cfg.train.num_pixels / dt
 
-    rays_per_sec = n_steps * cfg.train.num_pixels / dt
+
+def main():
+    from spurfies_tpu.data.synthetic import (
+        make_dust3r_like_scene,
+        make_synthetic_scene,
+    )
+
+    # Primary scene: DUSt3R-statistics cloud (VERDICT r2 #8) — partial
+    # coverage, depth-noise shell, FPS-subsampled to the reference's 0.025
+    # spacing (dust3r_inference.py:69-105).  This is the production-shaped
+    # workload; the clean uniform sphere (r1/r2 primary) is kept as a
+    # secondary number for round-over-round continuity.
+    d_pts, d_cols, d_views = make_dust3r_like_scene()
+    dust3r_rps = _time_scene(d_pts, d_cols, d_views)
+
+    s_pts, s_cols, s_views = make_synthetic_scene(
+        n_points=8000, n_views=3, img_res=(192, 256)
+    )
+    sphere_rps = _time_scene(s_pts, s_cols, s_views)
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(dust3r_rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(dust3r_rps / BASELINE_RAYS_PER_SEC, 3),
+        "scene": "dust3r_like",
+        "sphere_rays_per_sec": round(sphere_rps, 1),
+        "n_points": int(len(d_pts)),
     }))
 
 

@@ -21,12 +21,21 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--prior", default="artifacts/local_prior")
     ap.add_argument("--resolution", type=int, default=128)
+    ap.add_argument("--tag", default="", help="echoed into the JSON output")
+    ap.add_argument("overrides", nargs="*",
+                    help="dotted config overrides, e.g. "
+                         "loss.fd_eikonal_weight=0.01")
     args = ap.parse_args()
 
     import jax
     import numpy as np
 
-    from spurfies_tpu.config import Config, ModelConfig, TrainConfig
+    from spurfies_tpu.config import (
+        Config,
+        ModelConfig,
+        TrainConfig,
+        apply_overrides,
+    )
     from spurfies_tpu.data.synthetic import make_synthetic_scene
     from spurfies_tpu.train.trainer import Trainer
 
@@ -34,6 +43,8 @@ def main():
         model=ModelConfig(),
         train=TrainConfig(num_pixels=1024, fast_iters=1),
     )
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
     radius = 0.5
     pts, cols, views = make_synthetic_scene(
         n_points=8000, n_views=3, img_res=(128, 128), radius=radius
@@ -107,6 +118,7 @@ def main():
     psnr = -10 * np.log10(mse + 1e-12)
 
     print(json.dumps({
+        "tag": args.tag,
         "prior": prior,
         "steps": args.steps,
         "train_time_s": round(train_time, 1),

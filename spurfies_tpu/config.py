@@ -109,6 +109,16 @@ class LossConfig:
     #                                   anchoring them at 0 opposes the
     #                                   drift at its source. 0 = reference
     #                                   behavior.
+    fd_eikonal_anneal_init: float = 0.0   # >0 with anneal_steps: the fd
+    #                                   eikonal weight STARTS here and
+    #                                   decays geometrically to
+    #                                   fd_eikonal_weight over anneal_steps
+    #                                   (strong early unit-slope pressure
+    #                                   while the field forms, gentle
+    #                                   late so rendering recovers —
+    #                                   NOTES_ROUND2: constant 0.1 cost
+    #                                   3.9 dB).
+    fd_eikonal_anneal_steps: int = 0
     fd_eikonal_weight: float = 0.0    # BEYOND-REFERENCE: finite-difference
     #                                   eikonal at shading points. The
     #                                   analytic eikonal is a NO-OP here

@@ -93,6 +93,62 @@ def make_synthetic_scene(n_points=4000, n_views=3, img_res=(64, 64),
     return pts, cols, views
 
 
+def make_dust3r_like_scene(n_points=8000, n_views=3, img_res=(192, 256),
+                           radius=0.8, cam_dist=2.4, noise_sigma=0.008,
+                           spacing=0.025, seed=0):
+    """Synthetic scene whose POINT CLOUD matches DUSt3R output statistics
+    (VERDICT r2 #8: the clean uniform sphere understates production query
+    cost).  DUSt3R clouds (dust3r_inference.py:69-140) differ from the
+    ideal sphere in three ways reproduced here:
+
+      * partial coverage — only surface visible from the 3 cameras
+        survives (back side missing; rays pass through holes),
+      * depth noise — each point is displaced along its observing
+        camera's VIEW RAY (stereo depth error), giving a ~noise_sigma
+        thick anisotropic shell (3-D neighborhoods, higher voxel
+        occupancy),
+      * FPS subsample to ~`spacing` (0.025, the reference's setting) —
+        near-uniform spacing but view-biased density at the rims.
+
+    Ground-truth views stay analytic (the true sphere), so quality gates
+    keep working.  Returns the same (pts, cols, views) tuple.
+    """
+    rng = np.random.default_rng(seed)
+    base = make_synthetic_scene(n_points=4, n_views=n_views,
+                                img_res=img_res, radius=radius,
+                                cam_dist=cam_dist, seed=seed)
+    _, _, views = base
+    cam_centers = views["pose"][:, :3, 3]                 # [V, 3]
+
+    # oversample the surface, then visibility-filter + noise + FPS
+    v = rng.normal(size=(n_points * 8, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    surf = radius * v
+
+    to_cam = cam_centers[None] - surf[:, None]            # [N, V, 3]
+    to_cam /= np.linalg.norm(to_cam, axis=-1, keepdims=True)
+    facing = np.einsum("nvi,ni->nv", to_cam, v)           # cos(normal, dir)
+    vis = facing > 0.15                                    # grazing cutoff
+    seen = vis.any(-1)
+    surf, v, to_cam, vis = surf[seen], v[seen], to_cam[seen], vis[seen]
+
+    # displace along a random OBSERVING camera's ray (stereo depth error)
+    obs = np.array([rng.choice(np.flatnonzero(m)) for m in vis])
+    ray = -to_cam[np.arange(len(surf)), obs]              # cam -> point
+    depth_err = rng.normal(0.0, noise_sigma, len(surf))
+    pts = surf + ray * depth_err[:, None]
+
+    from spurfies_tpu.prep.pointcloud import greedy_spacing_subsample
+    order = rng.permutation(len(pts))
+    pts = pts[order]
+    v = v[order]
+    keep = greedy_spacing_subsample(pts, spacing)
+    pts, v = pts[keep], v[keep]
+
+    cols = (_sphere_color(v) * 255.0).astype(np.float32)
+    return pts.astype(np.float32), cols, views
+
+
 def export_synthetic_own_data(root, scan="sphere", **scene_kwargs):
     """Write the synthetic scene to disk in own-data layout
     (``<root>/own_data/<scan>/{image/, <scan>.json, <scan>.ply}`` — the

@@ -41,7 +41,24 @@ def mask_bce_loss(weights_sum, mask_gt):
     )
 
 
-def total_loss(outputs, ground_truth, cfg: LossConfig):
+def fd_eikonal_weight_at(cfg: LossConfig, step):
+    """Effective fd-eikonal weight at a (traced) step.
+
+    With annealing enabled, decays geometrically from
+    ``fd_eikonal_anneal_init`` to ``fd_eikonal_weight`` over
+    ``fd_eikonal_anneal_steps``, then stays constant."""
+    w = cfg.fd_eikonal_weight
+    if (cfg.fd_eikonal_anneal_init <= 0 or cfg.fd_eikonal_anneal_steps <= 0
+            or w <= 0 or step is None):
+        return w
+    frac = jnp.clip(
+        1.0 - step.astype(jnp.float32) / cfg.fd_eikonal_anneal_steps,
+        0.0, 1.0,
+    )
+    return w * (cfg.fd_eikonal_anneal_init / w) ** frac
+
+
+def total_loss(outputs, ground_truth, cfg: LossConfig, step=None):
     """Weighted sum; returns (scalar, dict of parts)."""
     gt_rgb = ground_truth["rgb"].reshape(-1, 3)
     mask = ground_truth["mask"]
@@ -71,7 +88,7 @@ def total_loss(outputs, ground_truth, cfg: LossConfig):
         + cfg.pseudo_weight * parts["pseudo_loss"]
         + cfg.mask_weight * parts["mask_loss"]
         + cfg.cloud_anchor_weight * parts["cloud_anchor_loss"]
-        + cfg.fd_eikonal_weight * parts["fd_eikonal_loss"]
+        + fd_eikonal_weight_at(cfg, step) * parts["fd_eikonal_loss"]
     )
     parts["loss"] = loss
     return loss, parts

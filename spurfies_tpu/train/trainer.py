@@ -93,7 +93,7 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
         def constrain_batch(batch):
             return batch
 
-    def loss_fn(tp, bundle, batch, key):
+    def loss_fn(tp, bundle, batch, key, step=None):
         scene = bundle["scene"]
         params = {"frozen": bundle["frozen"], "train": tp}
         out = render_rays(params, scene, batch["inputs"], key, mcfg,
@@ -129,7 +129,7 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
                 local_ctx["cams"][local_ctx["src"][v]],
                 local_ctx["size"], local_ctx["center"],
             )
-        loss, parts = total_loss(out, batch["gt"], lcfg)
+        loss, parts = total_loss(out, batch["gt"], lcfg, step=step)
         parts["psnr"] = psnr_fn(
             out["rgb_values"], batch["gt"]["rgb"].reshape(-1, 3)
         )
@@ -156,7 +156,8 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
         batch = sample_batch(bundle["views"], jax.random.fold_in(key, 0))
         batch = constrain_batch(batch)
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, bundle, batch, jax.random.fold_in(key, 1)
+            state.params, bundle, batch, jax.random.fold_in(key, 1),
+            state.step,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -189,3 +189,61 @@ class TestBeyondReferenceLosses:
             out2, gt, LossConfig(cloud_anchor_weight=0.1,
                                  fd_eikonal_weight=0.1))
         assert float(more) > float(same)
+
+
+class TestFdAnnealing:
+    def test_schedule_values(self):
+        import jax.numpy as jnp
+
+        from spurfies_tpu.config import LossConfig
+        from spurfies_tpu.model.losses import fd_eikonal_weight_at
+
+        cfg = LossConfig(fd_eikonal_weight=0.01, fd_eikonal_anneal_init=1.0,
+                         fd_eikonal_anneal_steps=2000)
+        w0 = float(fd_eikonal_weight_at(cfg, jnp.asarray(0)))
+        w_half = float(fd_eikonal_weight_at(cfg, jnp.asarray(1000)))
+        w_end = float(fd_eikonal_weight_at(cfg, jnp.asarray(2000)))
+        w_late = float(fd_eikonal_weight_at(cfg, jnp.asarray(50000)))
+        assert abs(w0 - 1.0) < 1e-6            # starts at anneal_init
+        assert abs(w_half - 0.1) < 1e-6        # geometric midpoint
+        assert abs(w_end - 0.01) < 1e-8        # lands on the final weight
+        assert abs(w_late - 0.01) < 1e-8       # stays constant after
+
+    def test_disabled_is_constant(self):
+        from spurfies_tpu.config import LossConfig
+        from spurfies_tpu.model.losses import fd_eikonal_weight_at
+
+        cfg = LossConfig(fd_eikonal_weight=0.05)
+        assert fd_eikonal_weight_at(cfg, None) == 0.05
+
+    def test_trainer_threads_step(self):
+        """Annealed fd config trains end-to-end (step reaches the loss)."""
+        import dataclasses
+
+        import numpy as np
+
+        from spurfies_tpu.config import (
+            Config, LossConfig, ModelConfig, SamplerConfig, TrainConfig,
+        )
+        from spurfies_tpu.data.synthetic import make_synthetic_scene
+        from spurfies_tpu.train.trainer import Trainer
+
+        cfg = Config(
+            model=ModelConfig(
+                max_shading_pts=8,
+                ray_sampler=SamplerConfig(near=0.5, far=3.0, n_samples=8,
+                                          n_samples_eval=16,
+                                          n_samples_extra=4),
+            ),
+            loss=LossConfig(fd_eikonal_weight=0.01,
+                            fd_eikonal_anneal_init=1.0,
+                            fd_eikonal_anneal_steps=10),
+            train=TrainConfig(num_pixels=32, fast_iters=1),
+        )
+        pts, cols, views = make_synthetic_scene(n_points=500, n_views=2,
+                                                img_res=(16, 16))
+        tr = Trainer(cfg, pts, cols, views)
+        losses = []
+        tr.run(4, window=2,
+               callback=lambda s, m: losses.append(float(m["loss"])))
+        assert all(np.isfinite(l) for l in losses)
