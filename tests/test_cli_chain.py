@@ -27,6 +27,8 @@ TINY_OVERRIDES = [
     "model.ray_sampler.max_total_iters=2",
     "train.num_pixels=128",
     "train.fast_iters=1",
+    "train.eval_iters=1",             # smoke-chain renders need speed,
+    #                                   not sampler convergence
     "train.opt_steps=100",
     "train.render_freq=100",
     "train.checkpoint_freq=100",

@@ -141,3 +141,38 @@ def test_synthetic_scene_consistency():
     m = views["mask"][0, :, 0] > 0
     assert views["rgb"][0][~m].max() == 0
     assert views["rgb"][0][m].min() > 0
+
+
+class TestDust3rLikeScene:
+    def test_statistics(self):
+        """Cloud matches DUSt3R output statistics (VERDICT r2 #8): ~0.025
+        FPS spacing, noise shell, partial (3-view) coverage."""
+        from spurfies_tpu.data.synthetic import make_dust3r_like_scene
+
+        pts, cols, views = make_dust3r_like_scene(img_res=(32, 32))
+        assert len(pts) > 3000
+        r = np.linalg.norm(pts, axis=-1)
+        # thick shell around the radius-0.8 sphere
+        assert abs(float(r.mean()) - 0.8) < 0.01
+        assert 0.003 < float(r.std()) < 0.02
+
+        from sklearn.neighbors import KDTree
+        d = KDTree(pts).query(pts, k=2)[0][:, 1]
+        assert float(d.min()) >= 0.024            # FPS spacing honored
+
+        # back side (away from all 3 cameras) has holes
+        cams = views["pose"][:, :3, 3]
+        mean_cam = cams.mean(0)
+        mean_cam /= np.linalg.norm(mean_cam)
+        back = pts @ mean_cam < -0.6 * 0.8
+        frac_back = back.mean()
+        assert frac_back < 0.08                    # mostly missing
+
+    def test_views_match_protocol(self):
+        from spurfies_tpu.data.synthetic import make_dust3r_like_scene
+
+        pts, cols, views = make_dust3r_like_scene(img_res=(24, 24))
+        assert views["rgb"].shape == (3, 576, 3)
+        assert views["mask"].shape == (3, 576, 1)
+        assert cols.shape == (len(pts), 3)
+        assert views["mask"].mean() > 0.2          # object in frame
