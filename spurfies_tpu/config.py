@@ -78,6 +78,21 @@ class ModelConfig:
     #                                   32: PSNR 25.62 mesh 0.0276 (+12%
     #                                   rays/s vs 48); 24: PSNR 24.8 (too
     #                                   aggressive — rejected).
+    occ_compact: bool = False         # TRAIN-ONLY: compact ray samples by
+    #                                   OCCUPANCY (one-int gather) BEFORE
+    #                                   the kNN query, so only the S
+    #                                   selected columns are queried
+    #                                   (100k -> 82k query points/step).
+    #                                   Occupancy over-selects vs the
+    #                                   reference's has-neighbor rule only
+    #                                   when a cell's candidate list serves
+    #                                   no in-radius neighbor; such columns
+    #                                   render as empty space. False =
+    #                                   reference-exact column selection.
+    #                                   Measured (r3, TPU v5e): +1.6%
+    #                                   rays/s on both bench scenes —
+    #                                   marginal; eval renders always use
+    #                                   the reference path (OOM + no win).
     pos_multires: int = 6             # position encoding bands
     view_multires: int = 3            # view-dir encoding bands
     # voxel grid (reference pointneus_disent.py:45-62)

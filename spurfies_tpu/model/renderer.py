@@ -86,23 +86,61 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     z_all = jax.lax.stop_gradient(z_all)
     points = cam_loc[:, None, :] + z_all[..., None] * ray_dirs[:, None, :]
 
-    # neighbor query over all samples, then first-S compaction per ray
     flat_pts = points.reshape(-1, 3)
-    idx_all, _ = query_grid(flat_pts, scene.table, scene.spec, k=K)
-    idx_all = idx_all.reshape(n_rays, -1, K)
-    has_any = jnp.any(idx_all >= 0, axis=-1)           # [R, Z]
+    if cfg.occ_compact and train:
+        # train-only: the eval render (chunk 8192 x eval-iter samples)
+        # compiles ~62 MB past the 15.75 G HBM budget with this layout and
+        # gains nothing there (eval is sampler-bound); eval always takes
+        # the reference-exact branch below.
+        # cell-occupancy prefilter (one int gather per sample) selects the
+        # S columns FIRST; only those run the kNN query (occupancy is a
+        # superset of has-neighbor — over-selected columns come back with
+        # no valid neighbors and render as empty space)
+        from spurfies_tpu.ops.voxel_grid import _cell_ids
+        cid = _cell_ids(flat_pts, scene.spec)
+        in_grid = cid < scene.spec.num_cells
+        occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
+        sel, sel_col = compact_rays(occ.reshape(n_rays, -1), S)  # [R, S]
+        z_sel = jnp.take_along_axis(z_all, sel, axis=-1)
+        z_sel = jnp.where(sel_col, z_sel, 0.0)
+        q_pts = cam_loc[:, None, :] + z_sel[..., None] * ray_dirs[:, None, :]
+        nbr_idx, _ = query_grid(q_pts.reshape(-1, 3), scene.table,
+                                scene.spec, k=K)
+        nbr_idx = nbr_idx.reshape(n_rays, S, K)
+        nbr_idx = jnp.where(sel_col[..., None], nbr_idx, -1)
+        nbr_valid = nbr_idx >= 0
+        sel_valid = jnp.any(nbr_valid, axis=-1)        # [R, S]
+        # Occupancy over-selects columns with no in-radius neighbor; they
+        # carry zero density, but the reference's forward deltas are taken
+        # over the COMPACTED has-neighbor columns — so each valid column's
+        # delta must span to the next VALID column's z, skipping the
+        # interleaved empties (reverse cummin), or quadrature shrinks ~3%.
+        z_v = jnp.where(sel_valid, z_sel, jnp.inf)
+        nxt = jnp.flip(jax.lax.cummin(jnp.flip(z_v, -1), axis=z_v.ndim - 1),
+                       -1)
+        nxt = jnp.concatenate(
+            [nxt[..., 1:], jnp.full_like(nxt[..., :1], jnp.inf)], -1)
+        deltas = jnp.where(sel_valid & jnp.isfinite(nxt), nxt - z_sel, 0.0)
+        deltas = jnp.maximum(deltas, 0.0)
+    else:
+        # reference-exact: query all samples, then first-S compaction by
+        # has-neighbor
+        idx_all, _ = query_grid(flat_pts, scene.table, scene.spec, k=K)
+        idx_all = idx_all.reshape(n_rays, -1, K)
+        has_any = jnp.any(idx_all >= 0, axis=-1)       # [R, Z]
 
-    sel, sel_valid = compact_rays(has_any, S)          # [R, S]
-    z_sel = jnp.take_along_axis(z_all, sel, axis=-1)
-    z_sel = jnp.where(sel_valid, z_sel, 0.0)           # filler 0 (ref :220-224)
-    nbr_idx = jnp.take_along_axis(idx_all, sel[..., None], axis=1)  # [R,S,K]
-    nbr_valid = (nbr_idx >= 0) & sel_valid[..., None]
+        sel, sel_valid = compact_rays(has_any, S)      # [R, S]
+        z_sel = jnp.take_along_axis(z_all, sel, axis=-1)
+        z_sel = jnp.where(sel_valid, z_sel, 0.0)       # filler 0 (ref :220-224)
+        nbr_idx = jnp.take_along_axis(idx_all, sel[..., None],
+                                      axis=1)          # [R,S,K]
+        nbr_valid = (nbr_idx >= 0) & sel_valid[..., None]
 
-    # deltas over the compacted grid (reference filter_points :226-232)
-    z_pad = jnp.concatenate([z_sel, jnp.zeros_like(z_sel[..., :1])], -1)
-    deltas = z_pad[..., 1:] - z_pad[..., :-1]
-    deltas = jnp.where(sel_valid, deltas, 0.0)
-    deltas = jnp.maximum(deltas, 0.0)
+        # deltas over the compacted grid (reference filter_points :226-232)
+        z_pad = jnp.concatenate([z_sel, jnp.zeros_like(z_sel[..., :1])], -1)
+        deltas = z_pad[..., 1:] - z_pad[..., :-1]
+        deltas = jnp.where(sel_valid, deltas, 0.0)
+        deltas = jnp.maximum(deltas, 0.0)
 
     shading_pts = cam_loc[:, None, :] + z_sel[..., None] * ray_dirs[:, None, :]
     flat_x = shading_pts.reshape(-1, 3)

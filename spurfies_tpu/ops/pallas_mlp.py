@@ -187,14 +187,32 @@ def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
     return s[:m, 0]
 
 
+TILE = 1024  # grid tile (rows per kernel invocation); see set_tile
+
+
+def set_tile(tile: int):
+    """Kernel row-tile size (perf A/B knob; VMEM bounds the maximum)."""
+    global TILE
+    TILE = tile
+
+
+def _prep_layers(frozen, compute_dtype):
+    """Weights cast to the compute dtype HOST-SIDE (outside the grid):
+    the weight blocks are re-fetched per grid step, so f32 refs cost 2x
+    the HBM traffic of bf16 ones; in-kernel casts also burn VPU cycles
+    every tile for the same rounding."""
+    layers = _flatten_frozen(frozen)
+    ws = tuple(w.astype(compute_dtype) for w, _ in layers)
+    bs = tuple((b[None] if b.ndim == 1 else b) for _, b in layers)
+    return ws, bs
+
+
 def pair_sdf_value(frozen, u, compute_dtype=jnp.bfloat16):
     """Value-only fused MLP (no-grad probe paths — sampler importance,
     marching-cubes probe): one up sweep, half the grad kernel's work."""
-    layers = _flatten_frozen(frozen)
-    ws = tuple(w for w, _ in layers)
-    bs = tuple(b[None] if b.ndim == 1 else b for _, b in layers)
+    ws, bs = _prep_layers(frozen, compute_dtype)
     return _fused_value_call(u, ws, bs, compute_dtype=compute_dtype,
-                             **_kernel_kwargs(u))
+                             tile=TILE, **_kernel_kwargs(u))
 
 
 def _kernel_kwargs(u):
@@ -204,11 +222,9 @@ def _kernel_kwargs(u):
 
 
 def _fwd_impl(frozen, u, compute_dtype):
-    layers = _flatten_frozen(frozen)
-    ws = [w for w, _ in layers]
-    bs = [b[None] if b.ndim == 1 else b for _, b in layers]
+    ws, bs = _prep_layers(frozen, compute_dtype)
     return _fused_mlp_call(
-        u, tuple(ws), tuple(bs), compute_dtype=compute_dtype,
+        u, ws, bs, compute_dtype=compute_dtype, tile=TILE,
         **_kernel_kwargs(u),
     )
 
