@@ -132,6 +132,41 @@ def main():
     report["aggregate_color_82k_ms"] = timeit(col, idx_r, valid_r, xr,
                                               dirs_r)
 
+    # ---- color at the IN-STEP shape: top32 x 1024 rays = 32k pts, with
+    # backward (the step differentiates color wrt latents + MLP params;
+    # the latent cotangent is a 262k-row scatter-add — suspect hot spot)
+    MC = 1024 * mcfg.color_top_samples
+    xc, idx_c, valid_c = xr[:MC], idx_r[:MC], valid_r[:MC]
+    dirs_c = dirs_r[:MC]
+
+    colc = jax.jit(lambda i, v, x, d: field.aggregate_color(
+        tp, tp["feats_color"], scene.points, i, v, x, d, 45.0, 6, 3))
+    report["color_fwd_32k_ms"] = timeit(colc, idx_c, valid_c, xc, dirs_c)
+
+    def loss_col(train_like):
+        rgb = field.aggregate_color(
+            train_like, train_like["feats_color"], scene.points, idx_c,
+            valid_c, xc, dirs_c, 45.0, 6, 3)
+        return jnp.sum(rgb)
+
+    gcol = jax.jit(jax.grad(loss_col))
+    report["color_fwdbwd_32k_ms"] = timeit(gcol, tp)
+
+    # scatter-add alone: VJP of the latent gather at color pair count
+    seg = jnp.maximum(idx_c, 0).reshape(-1)
+    ct = jnp.ones((seg.shape[0], 64), jnp.float32)
+
+    @jax.jit
+    def scatter_only(ct):
+        return jnp.zeros_like(tp["feats_color"]).at[seg].add(ct)
+
+    report["latent_scatter_262k_ms"] = timeit(scatter_only, ct)
+
+    # ---- k=1 sampler probe variant (nearest-neighbor-only guidance) ----
+    p1 = jax.jit(lambda x: field.sdf_probe(frozen, tp["feats_geometry"],
+                                           scene, x, 1, 2.0, 45.0))
+    report["sdf_probe_k1_131k_ms"] = timeit(p1, probe_pts)
+
     # backward of sdf_and_grad (eikonal double backprop cost)
     def loss_sg(feats):
         s, g = field.sdf_and_grad(frozen, feats, scene.points, idx_r,
