@@ -10,7 +10,7 @@ LOG=${1:-/tmp/sweep_bias.jsonl}
 run() {
   tag=$1; shift
   echo "=== $tag ===" >&2
-  timeout 900 python -u scripts/validate_pipeline.py --steps 2000 \
+  timeout 1800 python -u scripts/validate_pipeline.py --steps 2000 \
     --tag "$tag" "$@" >> "$LOG" 2>/tmp/sweep_last_err.log \
     || echo "{\"tag\": \"$tag\", \"FAILED\": true}" >> "$LOG"
 }

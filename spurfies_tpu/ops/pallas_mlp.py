@@ -187,13 +187,23 @@ def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
     return s[:m, 0]
 
 
-TILE = 1024  # grid tile (rows per kernel invocation); see set_tile
+# Grid tiles (rows per kernel invocation), tuned per kernel on TPU v5e
+# (scripts/sweep_tile.py, round 3): the value-only kernel holds one [T, 256]
+# activation and runs best at 4096 rows (18.7 ms @1.05M rows vs 27.4 at
+# 1024); the grad kernel stores 4 gate tensors + the down-sweep activation
+# and is best at 1024 (25.8 ms @655k; 4096 overflows VMEM).
+VALUE_TILE = 4096
+GRAD_TILE = 1024
 
 
-def set_tile(tile: int):
-    """Kernel row-tile size (perf A/B knob; VMEM bounds the maximum)."""
-    global TILE
-    TILE = tile
+def set_tile(tile: int, value_tile: int | None = None):
+    """Kernel row-tile knob (perf A/B; VMEM bounds the maximum).
+
+    ``set_tile(t)`` sets both kernels; ``set_tile(g, v)`` sets them
+    separately (grad, value)."""
+    global VALUE_TILE, GRAD_TILE
+    GRAD_TILE = tile
+    VALUE_TILE = tile if value_tile is None else value_tile
 
 
 def _prep_layers(frozen, compute_dtype):
@@ -211,8 +221,9 @@ def pair_sdf_value(frozen, u, compute_dtype=jnp.bfloat16):
     """Value-only fused MLP (no-grad probe paths — sampler importance,
     marching-cubes probe): one up sweep, half the grad kernel's work."""
     ws, bs = _prep_layers(frozen, compute_dtype)
+    tile = min(VALUE_TILE, max(256, 1 << (u.shape[0] - 1).bit_length()))
     return _fused_value_call(u, ws, bs, compute_dtype=compute_dtype,
-                             tile=TILE, **_kernel_kwargs(u))
+                             tile=tile, **_kernel_kwargs(u))
 
 
 def _kernel_kwargs(u):
@@ -223,8 +234,9 @@ def _kernel_kwargs(u):
 
 def _fwd_impl(frozen, u, compute_dtype):
     ws, bs = _prep_layers(frozen, compute_dtype)
+    tile = min(GRAD_TILE, max(256, 1 << (u.shape[0] - 1).bit_length()))
     return _fused_mlp_call(
-        u, ws, bs, compute_dtype=compute_dtype, tile=TILE,
+        u, ws, bs, compute_dtype=compute_dtype, tile=tile,
         **_kernel_kwargs(u),
     )
 
