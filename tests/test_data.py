@@ -130,6 +130,20 @@ class TestConfig:
     def test_hashable(self):
         hash(Config())  # frozen dataclasses usable as jit static args
 
+    def test_presets(self):
+        from spurfies_tpu.config import PRESETS
+
+        assert apply_overrides(
+            Config(), ["preset=reference_exact"]) == Config()
+        # later explicit overrides win over preset values
+        cfg = apply_overrides(
+            Config(), ["preset=throughput", "model.occ_compact=false"])
+        assert cfg.model.occ_compact is False
+        with pytest.raises(KeyError):
+            apply_overrides(Config(), ["preset=nonexistent"])
+        for name, ovr in PRESETS.items():  # every preset must apply cleanly
+            apply_overrides(Config(), [f"preset={name}"] + list(ovr))
+
 
 def test_synthetic_scene_consistency():
     pts, cols, views = make_synthetic_scene(n_points=500, n_views=2,
