@@ -61,6 +61,49 @@ def set_geometry_dtype(dtype):
     GEOMETRY_DTYPE = dtype
 
 
+SCATTER_MODE = "xla"      # latent-gradient scatter-add backend:
+#                           "xla" (autodiff default) | "pallas" (banked
+#                           VMEM accumulator, ops/pallas_scatter.py) —
+#                           measured A/B on TPU before flipping defaults
+
+
+def set_scatter_mode(mode: str):
+    global SCATTER_MODE
+    SCATTER_MODE = mode
+
+
+@jax.custom_vjp
+def gather_latents(table, idx):
+    """``table[idx]`` whose VJP scatter-add backend is SCATTER_MODE.
+
+    idx may be any shape; invalid entries must already be clipped into
+    range (cotangents for masked slots are zero, so they accumulate
+    nothing wherever they land).
+    """
+    return table[idx]
+
+
+def _gather_latents_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_latents_bwd(res, ct):
+    idx, n = res
+    d = ct.shape[-1]
+    flat_ct = ct.reshape(-1, d)
+    flat_idx = idx.reshape(-1)
+    if SCATTER_MODE == "pallas" and jax.default_backend() == "tpu":
+        from spurfies_tpu.ops.pallas_scatter import scatter_add_rows
+        g = scatter_add_rows(flat_ct, flat_idx, n)
+    else:
+        g = jnp.zeros((n, d), flat_ct.dtype).at[flat_idx].add(flat_ct)
+    zero_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return g, zero_idx
+
+
+gather_latents.defvjp(_gather_latents_fwd, _gather_latents_bwd)
+
+
 FUSED_MLP_MODE = "auto"   # "auto" (TPU only) | "on" (incl. interpret) | "off"
 FUSED_COLOR = False       # fused color kernel: measured net-negative (see
 #                           aggregate_color note); flip to re-evaluate
@@ -271,7 +314,7 @@ def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
     m, k = idx.shape
     safe_idx = jnp.maximum(idx, 0)
     npos = points[safe_idx]
-    gfeat = geo_latents[safe_idx]
+    gfeat = gather_latents(geo_latents, safe_idx)
     x_pi = x[:, None, :] - npos
     w, norm = rbf_weights(x_pi, valid, rbf)
 
@@ -377,7 +420,7 @@ def aggregate_color(train_params, color_latents, points, idx, valid, x,
     """
     safe_idx = jnp.maximum(idx, 0)
     npos = points[safe_idx]
-    cfeat = color_latents[safe_idx]               # [M, K, 64]
+    cfeat = gather_latents(color_latents, safe_idx)  # [M, K, 64]
     x_pi = x[:, None, :] - npos
     w, norm = rbf_weights(x_pi, valid, rbf)
 

@@ -148,6 +148,34 @@ class TestCompactRays:
         assert np.asarray(ok).all()
 
 
+class TestShrinkQueryTable:
+    def test_exact_after_shrink(self, rng):
+        from spurfies_tpu.model.neural_points import shrink_query_table
+
+        pts = jnp.asarray(_random_cloud(rng, 800, scale=0.3))
+        qt = build_query_table(pts, SPEC, r=2.0)
+        qt_s, spec_s = shrink_query_table(qt, SPEC)
+        assert spec_s.qcap <= SPEC.qcap
+        q = jnp.asarray(_random_cloud(rng, 300, scale=0.35))
+        i0, d0 = query_grid(q, qt, SPEC, k=8)
+        i1, d1 = query_grid(q, qt_s, spec_s, k=8)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1))
+
+    def test_dense_cell_keeps_full_width(self):
+        from spurfies_tpu.model.neural_points import shrink_query_table
+
+        # >96 points inside one query neighborhood -> no shrink possible
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(
+            rng.uniform(-0.02, 0.02, size=(200, 3)).astype(np.float32))
+        spec = VoxelGridSpec(max_pts_per_cell=128)
+        qt = build_query_table(pts, spec, r=2.0)
+        qt_s, spec_s = shrink_query_table(qt, spec)
+        assert spec_s.qcap == spec.qcap
+        assert qt_s.idx.shape == qt.idx.shape
+
+
 class TestVoxelDownsample:
     def test_reduces_and_preserves(self, rng):
         pts = _random_cloud(rng, 5000, scale=0.5)
