@@ -8,6 +8,7 @@ color [262k, 64] -> [N, 64] and geometry [655k, 32] -> [N, 32] scatter-adds
   xla_bf16   same with bf16 cotangents (halves scatter element bytes)
   sort_seg   sort pairs by target row + segment_sum (sorted-scatter lowering)
   onehot_mm  blocked one-hot matmul on the MXU (FLOPs traded for regularity)
+  pallas     banked VMEM-resident accumulator (ops/pallas_scatter.py)
 
     python scripts/micro_scatter.py
 """
@@ -79,10 +80,17 @@ def main():
             outs = jax.lax.map(blk, jnp.arange(n_pts // tb))
             return outs.reshape(n_pts, -1)
 
+        from spurfies_tpu.ops.pallas_scatter import scatter_add_rows
+
+        @jax.jit
+        def pallas(ct, seg=seg, n_pts=n_pts):
+            return scatter_add_rows(ct, seg, n_pts)
+
         row = {"m": m, "d": d, "n": n_pts,
                "xla_f32": timeit(xla_f32, ct),
                "xla_bf16": timeit(xla_bf16, ct),
-               "sort_seg": timeit(sort_seg, ct)}
+               "sort_seg": timeit(sort_seg, ct),
+               "pallas": timeit(pallas, ct)}
         if n_pts <= 8192:
             row["onehot_mm"] = timeit(onehot_mm, ct)
         print({k: (round(v, 2) if isinstance(v, float) else v)

@@ -243,6 +243,8 @@ class Trainer:
         enable_compilation_cache()
         self.cfg = cfg
         self.local_bundle = local_bundle
+        from spurfies_tpu.model.field import set_scatter_mode
+        set_scatter_mode(cfg.model.scatter_mode)
         seed = cfg.train.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         k_scene, k_params, self.key = jax.random.split(key, 3)
