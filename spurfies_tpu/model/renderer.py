@@ -78,7 +78,8 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
             return field.sdf_probe(
                 jax.lax.stop_gradient(frozen),
                 jax.lax.stop_gradient(tp["feats_geometry"]),
-                scene, x, cfg.k, cfg.r, cfg.rbf, need_grad=False,
+                scene, x, cfg.probe_k or cfg.k, cfg.r, cfg.rbf,
+                need_grad=False,
             )
 
         z_all = error_bound_z_vals(skey, sdf_probe_fn, cam_loc, ray_dirs,

@@ -336,6 +336,31 @@ class TestRenderer:
         for k, v in out_b.items():
             assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
 
+    def test_probe_k_renders_close_to_reference(self, sphere_scene):
+        """probe_k shrinks only the SAMPLER's importance probe; the
+        rendered SDF/color still use k neighbors, so a k=1 probe changes
+        WHERE samples land but must keep the render finite, hit the same
+        rays, and stay close on this well-conditioned scene."""
+        scene, params = sphere_scene
+        inputs = self._inputs()
+        key = jax.random.PRNGKey(3)
+        base = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5))
+        pk1 = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5),
+                          probe_k=1)
+        out_a = render_rays(params, scene, inputs, key, base, train=True,
+                            iters=1)
+        out_b = render_rays(params, scene, inputs, key, pk1, train=True,
+                            iters=1)
+        np.testing.assert_array_equal(np.asarray(out_a["ray_mask"]),
+                                      np.asarray(out_b["ray_mask"]))
+        for k, v in out_b.items():
+            assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
+        mask = np.asarray(out_a["ray_mask"])
+        rgb_a = np.asarray(out_a["rgb_values"])[mask]
+        rgb_b = np.asarray(out_b["rgb_values"])[mask]
+        # samples land differently -> small quadrature differences only
+        assert np.abs(rgb_b - rgb_a).max() < 0.1
+
     def test_occ_compact_gradients_flow(self, sphere_scene):
         scene, params = sphere_scene
         cfg = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5),
