@@ -50,19 +50,22 @@ def mlp_apply(layers, x, final_act=None, hidden_act="leaky_relu",
     in_dtype = x.dtype
     for i, layer in enumerate(layers):
         w, b = layer["w"], layer["b"]
+        # With a compute dtype, the matmul OUTPUT is requested in that dtype
+        # too (the MXU still accumulates f32 internally and rounds once);
+        # asking for f32 out + casting after the bias/activation makes XLA
+        # materialize a f32 [M, 256] between every layer — measured 6.45 vs
+        # 4.19 ms fwd (9.15 vs 5.72 fwd+bwd) at [262k, 103] on v5e.
+        pet = jnp.float32 if compute_dtype is None else compute_dtype
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
             w = w.astype(compute_dtype)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+            b = b.astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=pet) + b
         if i < len(layers) - 1:
             if hidden_act == "leaky_relu":
                 x = jax.nn.leaky_relu(x, LEAKY_SLOPE)
             elif hidden_act == "relu":
                 x = jax.nn.relu(x)
-            if compute_dtype is not None:
-                # keep hidden activations in the compute dtype: these MLPs
-                # are HBM-bandwidth-bound, halved bytes ~ halved time
-                x = x.astype(compute_dtype)
     if final_act == "sigmoid":
         x = jax.nn.sigmoid(x)
     return x.astype(in_dtype)

@@ -188,11 +188,12 @@ def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
 
 
 # Grid tiles (rows per kernel invocation), tuned per kernel on TPU v5e
-# (scripts/sweep_tile.py, round 3): the value-only kernel holds one [T, 256]
-# activation and runs best at 4096 rows (18.7 ms @1.05M rows vs 27.4 at
-# 1024); the grad kernel stores 4 gate tensors + the down-sweep activation
-# and is best at 1024 (25.8 ms @655k; 4096 overflows VMEM).
-VALUE_TILE = 4096
+# (scripts/sweep_tile.py). Re-swept after the bf16 host-side weight prep
+# landed: both kernels now peak at 1024 rows (grad@655k 11.36 ms at 1024
+# vs 11.81/11.69 at 512/2048; value@1.05M 10.10 at 1024 vs 11.16 at the
+# old 4096 default — the smaller working set pipelines better once the
+# weight blocks are bf16).
+VALUE_TILE = 1024
 GRAD_TILE = 1024
 
 
