@@ -61,6 +61,10 @@ def main():
     gather = jax.jit(lambda lat: field.gather_latents(latents, idx))
     print(f"gather_cfeat        {timeit(gather, latents):7.2f} ms")
 
+    gather_b = jax.jit(lambda lat: field.gather_latents(
+        lat.astype(jnp.bfloat16), idx))
+    print(f"gather_cfeat_bf16   {timeit(gather_b, latents):7.2f} ms")
+
     penc = jax.jit(lambda x_pi: field.positional_encoding(x_pi, 6))
     x_pi = x[:, None, :] - points[jnp.maximum(idx, 0)]
     print(f"posenc_xpi          {timeit(penc, x_pi):7.2f} ms")
@@ -93,6 +97,9 @@ def main():
 
     mlp_b = jax.jit(lambda tp, fi: mlp_bf16_out(tp["F_color"], fi))
     print(f"F_color_bf16out     {timeit(mlp_b, tp, field_in):7.2f} ms")
+
+    field_in_b = field_in.astype(jnp.bfloat16)
+    print(f"F_color_bf16in      {timeit(mlp_b, tp, field_in_b):7.2f} ms")
 
     def mlp_b_loss(tp, fi):
         return jnp.sum(mlp_bf16_out(tp["F_color"], fi).astype(jnp.float32))

@@ -92,6 +92,30 @@ class ModelConfig:
     #                                   32: PSNR 25.62 mesh 0.0276 (+12%
     #                                   rays/s vs 48); 24: PSNR 24.8 (too
     #                                   aggressive — rejected).
+    ray_budget_frac: float = 0.0      # TRAIN-ONLY: >0 compacts the ray
+    #                                   batch to frac*R candidate rays
+    #                                   BEFORE the sampler (coarse
+    #                                   cell-occupancy over the uniform
+    #                                   init grid), running the whole
+    #                                   sampler/query/MLP/color pipeline
+    #                                   at the reduced static width and
+    #                                   scattering outputs back dense.
+    #                                   ~26% of a uniform pixel batch
+    #                                   misses the cloud (micro_scols);
+    #                                   the reference never pays for
+    #                                   misses (CUDA ray_mask compaction).
+    #                                   Overflow candidate rays drop from
+    #                                   the batch (excluded from losses
+    #                                   like misses). 0 = reference-dense;
+    #                                   -1 = AUTO (Trainer measures the
+    #                                   scene's occupancy fraction over
+    #                                   the train views once and adds a
+    #                                   4-sigma batch-sampling margin;
+    #                                   full-frame scenes calibrate to
+    #                                   dense). Gates (r3, 2k steps):
+    #                                   0.875: mesh err/bias IDENTICAL,
+    #                                   PSNR/rgb-L1 within seed spread;
+    #                                   step 44.6 -> 41.9 ms (+6%).
     occ_compact: bool = False         # TRAIN-ONLY: compact ray samples by
     #                                   OCCUPANCY (one-int gather) BEFORE
     #                                   the kNN query, so only the S
@@ -272,9 +296,14 @@ PRESETS: dict[str, list[str]] = {
     "reference_exact": [],
     # Maximum training throughput at gated quality (round-3 gates in
     # NOTES_ROUND3 "presets").
+    # Measured (r3, v5e, 1024 rays): 44.5 -> 38.2 ms/step (23.0k -> 26.8k
+    # rays/s) at ray_budget 0.875 on the bench scenes; -1 auto-calibrates
+    # per scene.  occ_compact is NOT included: under ray compaction it is
+    # redundant (same pruned work) and its combined graph crashes the
+    # XLA:TPU compile helper; the renderer ignores it when both are on.
     "throughput": [
-        "model.occ_compact=true",
         "model.probe_k=1",
+        "model.ray_budget_frac=-1",
     ],
     # Best mesh quality (signed-bias attack, VERDICT r2 #4; round-3 sweep).
     "quality_beat": [],

@@ -43,11 +43,7 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     Returns:
       dict of dense ``[R, ...]`` outputs + ``ray_mask``.
     """
-    frozen = params["frozen"]
-    tp = params["train"]
     scfg = cfg.ray_sampler
-    S = cfg.max_shading_pts
-    K = cfg.k
 
     uv = inputs["uv"]
     pose = inputs["pose"]
@@ -64,10 +60,94 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     dirs_cam, _ = get_camera_params(uv, eye, intrinsics)
     depth_scale = dirs_cam.reshape(-1, 3)[:, 2:]
 
+    key, skey = jax.random.split(key)
+
+    if 0 < cfg.ray_budget_frac < 1 and train and not cfg.entangled:
+        # TRAIN-ONLY ray compaction: ~26% of a uniform pixel batch misses
+        # the cloud entirely (micro_scols.py) yet pays the full dense
+        # [S, K] sampler/query/MLP/color cost.  The reference never pays
+        # for misses (its CUDA ray_mask compaction drops them,
+        # model/utils.py:90-113); here a coarse cell-occupancy test over
+        # the uniform init grid selects candidate rays FIRST, the whole
+        # render runs on a static frac*R budget, and outputs scatter back
+        # dense.  Occupancy over-selects (superset of has-neighbor);
+        # budget overflow drops excess candidate rays from the batch
+        # (ray_mask False -> excluded from losses like misses).
+        budget = -(-int(n_rays * cfg.ray_budget_frac) // 128) * 128
+        budget = min(n_rays, max(128, budget))
+        if budget < n_rays:  # full-width compaction is pure overhead
+            ray_occ = _coarse_ray_occupancy(cam_loc, ray_dirs, scene, scfg)
+            slot, ok, _ = field.compact_pair_slots(ray_occ, budget)
+            out = _render_body(params, scene, cam_loc[slot],
+                               ray_dirs[slot], depth_scale[slot], skey,
+                               cfg, train=train, iters=iters)
+            return _scatter_rays_back(out, slot, ok, n_rays, scfg.far)
+
+    return _render_body(params, scene, cam_loc, ray_dirs, depth_scale,
+                        skey, cfg, train=train, iters=iters)
+
+
+def _coarse_ray_occupancy(cam_loc, ray_dirs, scene, scfg):
+    """Per-ray predicate: does any uniform-grid sample land in an occupied
+    voxel cell?  One int gather per sample; a superset of the dense path's
+    eventual has-neighbor ray mask except for sub-cell corner clips the
+    coarse grid can step over (quality-gated; such rays carry near-zero
+    rendering weight)."""
+    from spurfies_tpu.ops.voxel_grid import _cell_ids
+
+    z = jnp.linspace(scfg.near, scfg.far, scfg.n_samples_eval,
+                     dtype=cam_loc.dtype)
+    pts = cam_loc[:, None, :] + z[None, :, None] * ray_dirs[:, None, :]
+    flat = pts.reshape(-1, 3)
+    cid = _cell_ids(flat, scene.spec)
+    in_grid = cid < scene.spec.num_cells
+    occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
+    return jnp.any(occ.reshape(pts.shape[0], -1), axis=-1)
+
+
+_SCATTER_DEFAULTS = {
+    "rgb_values": 0.0, "depth_values": 1.0, "acc": 0.0, "weights": 0.0,
+    "depth_vals": None, "xyz": 0.0, "sdf": None, "z_sel": 0.0,
+    "valid_pt": False, "ray_mask": False, "pts_rendered": 0.0,
+    "grad_theta": 0.0, "nbr_idx": -1, "nbr_valid": False, "cam_loc": 0.0,
+    "ray_dirs": 0.0, "normal_map": 0.0,
+}
+
+
+def _scatter_rays_back(out, slot, ok, n_rays, far):
+    """Expand a ray-compacted output dict back to dense ``[n_rays, ...]``.
+
+    Unused budget slots (ok False) and overflow rays land on defaults that
+    read as 'ray missed' to every consumer (losses mask by ray_mask /
+    valid_pt)."""
+    to = jnp.where(ok, slot, n_rays)
+
+    def put(x, default):
+        buf = jnp.full((n_rays,) + x.shape[1:], default, x.dtype)
+        return buf.at[to].set(x, mode="drop")
+
+    dense = {}
+    for k, v in out.items():
+        d = _SCATTER_DEFAULTS[k]
+        if k == "sdf":
+            d = field.SDF_FILLER
+        elif k == "depth_vals":
+            d = far
+        dense[k] = put(v, d)
+    return dense
+
+
+def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
+                 cfg: ModelConfig, *, train: bool, iters: int):
+    frozen = params["frozen"]
+    tp = params["train"]
+    scfg = cfg.ray_sampler
+    S = cfg.max_shading_pts
+    K = cfg.k
+    n_rays = ray_dirs.shape[0]
+
     beta_param = tp["beta"]
     beta0 = jax.lax.stop_gradient(get_beta(beta_param, cfg.density.beta_min))
-
-    key, skey = jax.random.split(key)
     if cfg.entangled:
         # legacy model samples uniformly only (reference pointneus.py:73-75)
         from spurfies_tpu.model.sampler import uniform_z_vals
@@ -88,7 +168,12 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
     points = cam_loc[:, None, :] + z_all[..., None] * ray_dirs[:, None, :]
 
     flat_pts = points.reshape(-1, 3)
-    if cfg.occ_compact and train:
+    # occ_compact is ignored under ray compaction: the ray budget already
+    # pruned the same work and the combined graph crashes the XLA:TPU
+    # compile helper (measured r3; HTTP 500 from tpu_compile_helper).
+    occ_active = (cfg.occ_compact and train
+                  and not (0 < cfg.ray_budget_frac < 1))
+    if occ_active:
         # train-only: the eval render (chunk 8192 x eval-iter samples)
         # compiles ~62 MB past the 15.75 G HBM budget with this layout and
         # gains nothing there (eval is sampler-bound); eval always takes

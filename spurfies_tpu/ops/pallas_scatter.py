@@ -23,9 +23,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for the banked accumulator (bytes); leave room for the ct
-# tile + double buffering.
-_ACC_BUDGET = 10 * 2 ** 20
+# VMEM budget for the banked accumulator (bytes).  Must leave room not
+# just for this kernel's ct tile + double buffering but for a SECOND
+# concurrently-scheduled kernel: XLA overlaps the color and geometry
+# latent scatters (and/or the fused pair-MLP kernel) in the same scoped
+# vmem region — a 10 MB budget compiled fine in the dense train graph but
+# hit "scoped vmem limit exceeded (19.22M > 16M)" once the ray-compacted
+# graph changed the schedule.
+_ACC_BUDGET = 5 * 2 ** 20
 _MAX_BANKS = 8
 
 

@@ -34,6 +34,34 @@ from spurfies_tpu.model.renderer import (
 from spurfies_tpu.train.optim import build_optimizer
 
 
+def _calibrate_ray_budget(scene, views, cfg: Config,
+                          margin: float = 0.06) -> float:
+    """Measure the coarse ray-occupancy fraction over the train views.
+
+    Returns the scene-adaptive ray_budget_frac: worst-view occupancy plus
+    a ~4-sigma margin for 1024-ray batch sampling noise, capped at 1.0
+    (dense).  One-time host readback, like shrink_query_table."""
+    from spurfies_tpu.core.cameras import get_camera_params
+    from spurfies_tpu.model.renderer import _coarse_ray_occupancy
+
+    uv_all = jnp.asarray(views["uv"])
+    n_px = uv_all.shape[0]
+    sub = np.random.RandomState(0).choice(
+        n_px, size=min(8192, n_px), replace=False
+    )
+    uv = uv_all[sub][None]
+    worst = 0.0
+    for v in range(np.asarray(views["pose"]).shape[0]):
+        pose = jnp.asarray(views["pose"][v])[None]
+        intr = jnp.asarray(views["intrinsics"][v])[None]
+        dirs_b, cam_b = get_camera_params(uv, pose, intr)
+        dirs = dirs_b.reshape(-1, 3)
+        cam = jnp.broadcast_to(cam_b[:, None, :], dirs_b.shape).reshape(-1, 3)
+        occ = _coarse_ray_occupancy(cam, dirs, scene, cfg.model.ray_sampler)
+        worst = max(worst, float(jnp.mean(occ)))
+    return min(1.0, worst + margin)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TrainState:
@@ -251,6 +279,17 @@ class Trainer:
 
         self.scene, latents = build_scene(k_scene, point_cloud, cfg.model,
                                           colors)
+        if cfg.model.ray_budget_frac < 0:
+            # auto ray budget: measure the scene's coarse ray-occupancy
+            # fraction over the train views once, add a 4-sigma sampling
+            # margin so 1024-ray batches essentially never overflow (a
+            # full-frame scene calibrates to 1.0 = dense, no harm)
+            frac = _calibrate_ray_budget(self.scene, views, cfg)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               ray_budget_frac=frac)
+            )
+            self.cfg = cfg
         params = init_model_params(k_params, cfg.model)
         params["train"].update(latents)
         self.frozen = params["frozen"]

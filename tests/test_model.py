@@ -336,6 +336,59 @@ class TestRenderer:
         for k, v in out_b.items():
             assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
 
+    def test_ray_budget_matches_reference_path(self, sphere_scene):
+        """ray_budget_frac compacts the batch to candidate rays before the
+        sampler and scatters back.  With a budget that holds every
+        candidate, occupied rays must render exactly as the dense path
+        does modulo sampler RNG (same key, different batch shape), and
+        miss rays must come back as defaults (ray_mask False)."""
+        scene, params = sphere_scene
+        inputs = self._inputs()
+        key = jax.random.PRNGKey(3)
+        base = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5))
+        rb = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5),
+                         ray_budget_frac=0.99999)  # rounds up to all rays
+        out_a = render_rays(params, scene, inputs, key, base, train=True,
+                            iters=1)
+        out_b = render_rays(params, scene, inputs, key, rb, train=True,
+                            iters=1)
+        # same hit set (occupancy is a superset; budget 1.0 drops nothing)
+        np.testing.assert_array_equal(np.asarray(out_a["ray_mask"]),
+                                      np.asarray(out_b["ray_mask"]))
+        for k, v in out_b.items():
+            assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
+        # miss rays come back as defaults
+        miss = ~np.asarray(out_b["ray_mask"])
+        if miss.any():
+            np.testing.assert_array_equal(
+                np.asarray(out_b["rgb_values"])[miss], 0.0)
+            np.testing.assert_array_equal(
+                np.asarray(out_b["weights"])[miss], 0.0)
+        # hit rays render the same surface (sampler RNG differs with the
+        # batch shape, so allow small quadrature differences)
+        mask = np.asarray(out_a["ray_mask"])
+        rgb_a = np.asarray(out_a["rgb_values"])[mask]
+        rgb_b = np.asarray(out_b["rgb_values"])[mask]
+        assert np.abs(rgb_b - rgb_a).max() < 0.1
+
+    def test_ray_budget_gradients_flow(self, sphere_scene):
+        scene, params = sphere_scene
+        cfg = ModelConfig(ray_sampler=SamplerConfig(near=0.5, far=4.5),
+                          ray_budget_frac=0.9)
+        inputs = self._inputs()
+        gt = jnp.ones((32, 3)) * 0.5
+
+        def loss_fn(tp):
+            p = {"frozen": params["frozen"], "train": tp}
+            out = render_rays(p, scene, inputs, jax.random.PRNGKey(0), cfg,
+                              train=True, iters=1)
+            return jnp.mean(jnp.abs(out["rgb_values"] - gt))
+
+        grads = jax.grad(loss_fn)(params["train"])
+        flat, _ = jax.tree_util.tree_flatten(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in flat)
+
     def test_probe_k_renders_close_to_reference(self, sphere_scene):
         """probe_k shrinks only the SAMPLER's importance probe; the
         rendered SDF/color still use k neighbors, so a k=1 probe changes

@@ -85,6 +85,30 @@ def test_e2e_sphere_optimization():
     assert int(trainer.state.step) == 120
 
 
+def test_auto_ray_budget_calibration():
+    """ray_budget_frac=-1: the Trainer measures the scene's occupancy
+    fraction once and replaces the knob with a concrete (0, 1] value; the
+    compacted step still optimizes."""
+    import dataclasses
+
+    pts, cols, views = make_synthetic_scene(
+        n_points=3000, n_views=3, img_res=(48, 48)
+    )
+    cfg = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY.model, ray_budget_frac=-1.0)
+    )
+    trainer = Trainer(cfg, pts, cols, views)
+    frac = trainer.cfg.model.ray_budget_frac
+    assert 0.0 < frac <= 1.0
+    # the 48x48 synthetic sphere views have visible background, so the
+    # calibrated budget should be meaningfully under dense
+    assert frac < 1.0
+    metrics = []
+    trainer.run(40, window=20,
+                callback=lambda s, m: metrics.append((s, m)))
+    assert np.isfinite(metrics[-1][1]["loss"])
+
+
 @pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     pts, cols, views = make_synthetic_scene(
