@@ -79,7 +79,7 @@ def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
             hi = np.asarray(cfg.model.scene_hi)
 
         level = 0.0
-        if auto_iso:
+        if auto_iso or cfg.eval.auto_iso:
             # extraction-level debias of the pseudo-loss depth skew
             # (see eval/mesh_extract.calibrate_iso_level)
             from spurfies_tpu.eval.mesh_extract import calibrate_iso_level

@@ -386,7 +386,7 @@ def pseudo_sdf_loss(params, scene, out, cfg: ModelConfig):
 
 
 def fd_eikonal_loss(params, scene, out, key, cfg: ModelConfig,
-                    eps: float = 5e-3):
+                    eps: float = 5e-3, n_sub: int = 0):
     """BEYOND-REFERENCE: finite-difference eikonal at shading points.
 
     The analytic eikonal term (reference loss.py:47-49) is a NO-OP in this
@@ -403,6 +403,16 @@ def fd_eikonal_loss(params, scene, out, key, cfg: ModelConfig,
     x = out["xyz"].reshape(-1, 3)
     idx = out["nbr_idx"].reshape(-1, cfg.k)
     nbr_valid = out["nbr_valid"].reshape(-1, cfg.k)
+
+    if 0 < n_sub < x.shape[0]:
+        # the penalty is a mean over shading points; a random subset gives
+        # the same expected pressure at a fraction of the two extra
+        # pair-MLP passes (the full-set term costs ~27 ms/step at
+        # production shapes — measured r3)
+        key, ksub = jax.random.split(key)
+        sel = jax.random.randint(ksub, (n_sub,), 0, x.shape[0])
+        valid, x = valid[sel], x[sel]
+        idx, nbr_valid = idx[sel], nbr_valid[sel]
 
     u = jax.random.normal(key, x.shape)
     u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-12)

@@ -136,7 +136,8 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
                 )
             if lcfg.fd_eikonal_weight > 0:
                 out["fd_eikonal_loss"] = fd_eikonal_loss(
-                    params, scene, out, jax.random.fold_in(key, 8), mcfg
+                    params, scene, out, jax.random.fold_in(key, 8), mcfg,
+                    n_sub=lcfg.fd_eikonal_points,
                 )
         if use_local:
             from spurfies_tpu.model.local_loss import (

@@ -161,6 +161,18 @@ class TestBeyondReferenceLosses:
         g = jax.grad(fd)(params["train"]["feats_geometry"])
         assert float(jnp.sum(jnp.abs(g))) > 0
 
+        # subsampled variant (loss.fd_eikonal_points): same expected
+        # pressure, finite and nonzero latent gradients
+        def fd_sub(geo):
+            p = {"frozen": params["frozen"],
+                 "train": dict(params["train"], feats_geometry=geo)}
+            return fd_eikonal_loss(p, scene, out, jax.random.PRNGKey(3),
+                                   cfg, n_sub=32)
+
+        assert np.isfinite(float(fd_sub(params["train"]["feats_geometry"])))
+        gs = jax.grad(fd_sub)(params["train"]["feats_geometry"])
+        assert float(jnp.sum(jnp.abs(gs))) > 0
+
         # contrast: analytic eikonal latent-gradient is exactly zero
         def analytic(geo):
             _, gr = field.sdf_and_grad(params["frozen"], geo, scene.points,
