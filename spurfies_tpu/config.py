@@ -77,11 +77,29 @@ class ModelConfig:
     #                                   known to be low.
     pair_budget_frac: float = 0.0     # >0: compact the [R*S, K] pair grid
     #                                   to its first frac*R*S*K valid pairs
-    #                                   before the frozen SDF MLP (invalid
-    #                                   slots are ~half the dense grid).
-    #                                   Exact when nothing overflows;
-    #                                   overflow shrinks effective k for
-    #                                   tail points (no SDF bias).
+    #                                   (COLUMN-major: nearest neighbors
+    #                                   first) before the frozen SDF MLP
+    #                                   (invalid slots are ~half the dense
+    #                                   grid).  Exact when nothing
+    #                                   overflows; overflow sheds the
+    #                                   FARTHEST neighbors of tail points
+    #                                   (effective k shrinks — no holes,
+    #                                   no SDF bias).  NEGATIVE RESULT
+    #                                   (r3, v5e, fused kernel): 0.625 ->
+    #                                   64 ms/step vs 44.9 dense — the 5
+    #                                   XLA row-gathers + 3 scatter-backs
+    #                                   at ~400k rows cost more than the
+    #                                   ~5 ms of MLP they save. Keep 0.
+    color_pair_frac: float = 0.0      # >0: same pair compaction for the
+    #                                   trainable color MLP (the [M*K, 256]
+    #                                   activation traffic is paid fwd AND
+    #                                   stored-activation bwd).  Fraction
+    #                                   of the color path's own pair grid
+    #                                   (after color_top_samples).
+    #                                   NEGATIVE RESULT (r3, v5e): 0.75 ->
+    #                                   54 ms/step vs 44.9 dense (same
+    #                                   gather/scatter overhead story as
+    #                                   pair_budget_frac).  Keep 0.
     color_top_samples: int = 32       # >0: run the color MLP only on the
     #                                   top-K samples per ray by rendering
     #                                   weight, rescaled to preserve total
@@ -92,7 +110,7 @@ class ModelConfig:
     #                                   32: PSNR 25.62 mesh 0.0276 (+12%
     #                                   rays/s vs 48); 24: PSNR 24.8 (too
     #                                   aggressive — rejected).
-    ray_budget_frac: float = 0.0      # TRAIN-ONLY: >0 compacts the ray
+    ray_budget_frac: float = -1.0     # TRAIN-ONLY: >0 compacts the ray
     #                                   batch to frac*R candidate rays
     #                                   BEFORE the sampler (coarse
     #                                   cell-occupancy over the uniform
@@ -116,6 +134,15 @@ class ModelConfig:
     #                                   0.875: mesh err/bias IDENTICAL,
     #                                   PSNR/rgb-L1 within seed spread;
     #                                   step 44.6 -> 41.9 ms (+6%).
+    #                                   DEFAULT -1 (auto): this is
+    #                                   reference-EQUIVALENT, not beyond —
+    #                                   the CUDA kernel's ray_mask
+    #                                   compaction also never pays for
+    #                                   miss rays (model/utils.py:90-113);
+    #                                   only the RNG stream differs.
+    #                                   preset=reference_exact restores
+    #                                   the dense path. 8-dev CPU-mesh
+    #                                   dryrun with it: 47 s (budget ok).
     occ_compact: bool = False         # TRAIN-ONLY: compact ray samples by
     #                                   OCCUPANCY (one-int gather) BEFORE
     #                                   the kNN query, so only the S
@@ -313,8 +340,10 @@ def load_yaml(path: str) -> Config:
 # Every entry cites its gate (validate_pipeline on the synthetic scene;
 # rgb-L1 + mesh err are the stable metrics — PSNR is ±5 dB at 2k steps).
 PRESETS: dict[str, list[str]] = {
-    # Reference-exact behavior (the default; listed for explicitness).
-    "reference_exact": [],
+    # Reference-exact behavior: also pins the dense (uncompacted) ray
+    # batch — the default ray_budget_frac=-1 is reference-EQUIVALENT
+    # (the CUDA kernel also drops miss rays) but changes the RNG stream.
+    "reference_exact": ["model.ray_budget_frac=0"],
     # Maximum training throughput at gated quality (round-3 gates in
     # NOTES_ROUND3 "presets").
     # Measured (r3, v5e, 1024 rays): 44.5 -> 38.2 ms/step (23.0k -> 26.8k

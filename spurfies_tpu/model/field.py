@@ -188,12 +188,12 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     the radius the scene's QueryTable was built with.
 
     budget_frac: most probe points lie in empty space (no neighbors); a
-    one-int-per-point cell-occupancy gather prunes them BEFORE the kNN
+    one-int-per-point fine-occupancy gather prunes them BEFORE the kNN
     query, and only the first ``budget_frac * M`` occupied points (static
     shape) run query + pair MLP — a sorted gather/scatter replaces the
     reference's ragged CUDA compaction.  None disables (all M run, masked).
     """
-    from spurfies_tpu.ops.voxel_grid import _cell_ids
+    from spurfies_tpu.ops.voxel_grid import fine_occupancy
 
     m = x.shape[0]
 
@@ -204,11 +204,9 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
                                valid, x, rbf, need_grad=need_grad)
         return sdf
 
-    # occupancy prefilter: cell candidate list non-empty (superset of
-    # having neighbors within radius)
-    cid = _cell_ids(x, scene.spec)
-    in_grid = cid < scene.spec.num_cells
-    occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
+    # fine-occupancy prefilter (exact cell-granular superset of having
+    # neighbors within radius — ops.voxel_grid.build_occupancy_bitmap)
+    occ = fine_occupancy(x, scene.occ_fine, scene.spec)
 
     budget = max(int(m * budget_frac) // 128 * 128, 128)
     # first `budget` occupied positions via cumsum+scatter (O(m); a sort
@@ -365,22 +363,28 @@ def sdf_and_grad_pairs(frozen, geo_latents, points, idx, valid, x, rbf,
     :242), d(agg)/dx decomposes into per-pair MLP input gradients — no
     per-point K-group vmap needed.
 
-    Overflow (valid pairs > budget) drops the tail pairs from BOTH the
-    numerator and the weight normalization: affected points degrade to a
-    smaller effective k instead of biasing the SDF.
+    Compaction order is COLUMN-major (all 1st-nearest pairs, then all
+    2nd-nearest, ...).  query_grid returns neighbors nearest-first, so a
+    point's valid pairs are a prefix of its row; on overflow the tail
+    that drops is the FARTHEST neighbor of the tail points — effective k
+    shrinks gracefully, and no point with neighbors ever loses its whole
+    neighborhood (the failure mode that sank the point-level
+    render_budget_frac: holes at convergence).  The weight normalization
+    drops with the pair, so the SDF stays a proper weighted average.
 
     Exact match of sdf_and_grad when nothing overflows
     (tests/test_model.py).
     """
     m, k = idx.shape
-    flat_valid = valid.reshape(-1)
+    flat_valid = valid.T.reshape(-1)                 # column-major [K*M]
     slot, ok, overflowed = compact_pair_slots(flat_valid, pair_budget)
 
-    pt = slot // k                                   # owning point row
-    pidx = jnp.maximum(idx.reshape(-1)[slot], 0)
+    pt = slot % m                                    # owning point row
+    kk = slot // m                                   # neighbor rank
+    pidx = jnp.maximum(idx.reshape(-1)[pt * k + kk], 0)
     x_b = x[pt]                                      # [B, 3]
     npos = points[pidx]
-    gfeat = geo_latents[pidx]                        # [B, 32]
+    gfeat = gather_latents(geo_latents, pidx)        # [B, 32]
     x_pi = x_b - npos
 
     dist = jax.lax.stop_gradient(
@@ -388,10 +392,16 @@ def sdf_and_grad_pairs(frozen, geo_latents, points, idx, valid, x, rbf,
     )
     w = jnp.exp(-((dist * rbf) ** 2)) * ok.astype(x.dtype)
 
-    def f(xpi_one, gf_one):
-        return pair_sdf(frozen, gf_one[None], xpi_one[None])[0]
+    if _use_fused():
+        from spurfies_tpu.ops.pallas_mlp import pair_sdf_value_and_input_grad
+        u = jnp.concatenate([gfeat, x_pi], axis=-1)
+        s, r = pair_sdf_value_and_input_grad(frozen, u, FUSED_MLP_DTYPE)
+        g = jax.lax.stop_gradient(r[:, gfeat.shape[-1]:])
+    else:
+        def f(xpi_one, gf_one):
+            return pair_sdf(frozen, gf_one[None], xpi_one[None])[0]
 
-    s, g = jax.vmap(jax.value_and_grad(f))(x_pi, gfeat)   # [B], [B, 3]
+        s, g = jax.vmap(jax.value_and_grad(f))(x_pi, gfeat)  # [B], [B, 3]
 
     seg = jnp.where(ok, pt, m)
     num = jnp.zeros((m,), x.dtype).at[seg].add(w * s, mode="drop")
@@ -403,6 +413,54 @@ def sdf_and_grad_pairs(frozen, geo_latents, points, idx, valid, x, rbf,
     sdf = jnp.where(has, num / safe_den, SDF_FILLER)
     grad = gnum / safe_den[:, None]
     return sdf, grad
+
+
+def aggregate_color_pairs(train_params, color_latents, points, idx, valid,
+                          x, ray_dirs, rbf, pair_budget: int,
+                          pos_multires=6, view_multires=3,
+                          compute_dtype=jnp.bfloat16):
+    """Pair-compacted :func:`aggregate_color`.
+
+    Same column-major compaction as :func:`sdf_and_grad_pairs`: the
+    trainable F_color MLP (the [M*K, 256] activation traffic is the cost,
+    fwd AND stored-activation bwd) runs only on valid pairs; the weighted
+    aggregation scatters back per point and the per-point R head is
+    unchanged.  Overflow sheds farthest neighbors (weight renormalizes),
+    never whole points.
+
+    Exact match of aggregate_color when nothing overflows
+    (tests/test_model.py::test_color_pairs_match_dense).
+    """
+    m, k = idx.shape
+    flat_valid = valid.T.reshape(-1)                 # column-major [K*M]
+    slot, ok, _ = compact_pair_slots(flat_valid, pair_budget)
+    pt = slot % m
+    kk = slot // m
+    pidx = jnp.maximum(idx.reshape(-1)[pt * k + kk], 0)
+    x_pi = x[pt] - points[pidx]                      # [B, 3]
+    cfeat = gather_latents(color_latents, pidx)      # [B, 64]
+
+    dist = jax.lax.stop_gradient(
+        jnp.maximum(jnp.linalg.norm(x_pi, axis=-1), 1e-12)
+    )
+    w = jnp.exp(-((dist * rbf) ** 2)) * ok.astype(x.dtype)
+    seg = jnp.where(ok, pt, m)
+    den = jnp.zeros((m,), x.dtype).at[seg].add(w, mode="drop")
+    has = den > 0
+    wn = w / jnp.where(has, den, 1.0)[pt]
+
+    pos_enc = positional_encoding(x_pi, pos_multires)         # [B, 39]
+    feat = mlp_apply(train_params["F_color"],
+                     jnp.concatenate([pos_enc, cfeat], axis=-1),
+                     compute_dtype=compute_dtype)             # [B, 256]
+    agg = jnp.zeros((m, feat.shape[-1]), x.dtype).at[seg].add(
+        wn[:, None] * feat.astype(x.dtype), mode="drop"
+    )
+
+    dir_enc = positional_encoding(ray_dirs, view_multires)    # [M, 21]
+    rgb = mlp_apply(train_params["R"], jnp.concatenate([dir_enc, agg], -1),
+                    final_act="sigmoid", compute_dtype=compute_dtype)
+    return rgb
 
 
 def aggregate_color(train_params, color_latents, points, idx, valid, x,

@@ -23,6 +23,7 @@ from spurfies_tpu.ops.downsample import voxel_downsample
 from spurfies_tpu.ops.voxel_grid import (
     QueryTable,
     VoxelGridSpec,
+    build_occupancy_bitmap,
     build_query_table,
     query_grid,
 )
@@ -36,10 +37,12 @@ class SceneState:
     table: QueryTable            # precomputed per-cell candidate lists
     tv_idx: jnp.ndarray          # [N, k] TV-graph neighbor indices
     tv_valid: jnp.ndarray        # [N, k] bool
+    occ_fine: jnp.ndarray = None  # [F] bool fine occupancy bitmap
     spec: VoxelGridSpec = None
 
     def tree_flatten(self):
-        return (self.points, self.table, self.tv_idx, self.tv_valid), self.spec
+        return (self.points, self.table, self.tv_idx, self.tv_valid,
+                self.occ_fine), self.spec
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -117,8 +120,9 @@ def build_scene(key, raw_points: np.ndarray, cfg: ModelConfig,
     # |f_i - f_i| = 0 (matches reference identity-padding behavior :244-253)
     tv_idx = jnp.where(tv_valid, tv_idx, 0)
 
+    occ_fine = build_occupancy_bitmap(points, spec, r=cfg.r)
     scene = SceneState(points=points, table=table, tv_idx=tv_idx,
-                       tv_valid=tv_valid, spec=spec)
+                       tv_valid=tv_valid, occ_fine=occ_fine, spec=spec)
 
     kc, kg = jax.random.split(key)
     fdim = cfg.feature_vector_size

@@ -73,7 +73,9 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
         # dense.  Occupancy over-selects (superset of has-neighbor);
         # budget overflow drops excess candidate rays from the batch
         # (ray_mask False -> excluded from losses like misses).
-        budget = -(-int(n_rays * cfg.ray_budget_frac) // 128) * 128
+        # 64-row alignment (f32 sublane-friendly): 128 rounds a 0.88 frac
+        # at R=1024 all the way back up to dense
+        budget = -(-int(n_rays * cfg.ray_budget_frac) // 64) * 64
         budget = min(n_rays, max(128, budget))
         if budget < n_rays:  # full-width compaction is pure overhead
             ray_occ = _coarse_ray_occupancy(cam_loc, ray_dirs, scene, scfg)
@@ -89,19 +91,18 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
 
 def _coarse_ray_occupancy(cam_loc, ray_dirs, scene, scfg):
     """Per-ray predicate: does any uniform-grid sample land in an occupied
-    voxel cell?  One int gather per sample; a superset of the dense path's
-    eventual has-neighbor ray mask except for sub-cell corner clips the
-    coarse grid can step over (quality-gated; such rays carry near-zero
-    rendering weight)."""
-    from spurfies_tpu.ops.voxel_grid import _cell_ids
+    FINE cell (ops.voxel_grid.build_occupancy_bitmap)?  One int gather per
+    sample; a superset of the dense path's eventual has-neighbor ray mask
+    except for sub-cell corner clips the grid can step over (quality-gated;
+    such rays carry near-zero rendering weight).  The fine bitmap's ~0.09
+    slack (vs ~0.18 for the coarse candidate-list test) is what lets the
+    auto ray budget drop below 1.0 on real scenes."""
+    from spurfies_tpu.ops.voxel_grid import fine_occupancy
 
     z = jnp.linspace(scfg.near, scfg.far, scfg.n_samples_eval,
                      dtype=cam_loc.dtype)
     pts = cam_loc[:, None, :] + z[None, :, None] * ray_dirs[:, None, :]
-    flat = pts.reshape(-1, 3)
-    cid = _cell_ids(flat, scene.spec)
-    in_grid = cid < scene.spec.num_cells
-    occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
+    occ = fine_occupancy(pts.reshape(-1, 3), scene.occ_fine, scene.spec)
     return jnp.any(occ.reshape(pts.shape[0], -1), axis=-1)
 
 
@@ -178,14 +179,12 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
         # compiles ~62 MB past the 15.75 G HBM budget with this layout and
         # gains nothing there (eval is sampler-bound); eval always takes
         # the reference-exact branch below.
-        # cell-occupancy prefilter (one int gather per sample) selects the
+        # fine-occupancy prefilter (one int gather per sample) selects the
         # S columns FIRST; only those run the kNN query (occupancy is a
         # superset of has-neighbor — over-selected columns come back with
         # no valid neighbors and render as empty space)
-        from spurfies_tpu.ops.voxel_grid import _cell_ids
-        cid = _cell_ids(flat_pts, scene.spec)
-        in_grid = cid < scene.spec.num_cells
-        occ = (scene.table.idx[jnp.where(in_grid, cid, 0), 0] >= 0) & in_grid
+        from spurfies_tpu.ops.voxel_grid import fine_occupancy
+        occ = fine_occupancy(flat_pts, scene.occ_fine, scene.spec)
         sel, sel_col = compact_rays(occ.reshape(n_rays, -1), S)  # [R, S]
         z_sel = jnp.take_along_axis(z_all, sel, axis=-1)
         z_sel = jnp.where(sel_col, z_sel, 0.0)
@@ -309,20 +308,16 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
         t_valid = jnp.take_along_axis(nbr_valid, top[..., None], axis=1)
         t_x = jnp.take_along_axis(shading_pts, top[..., None], axis=1)
         t_dirs = jnp.broadcast_to(ray_dirs[:, None, :], (n_rays, W, 3))
-        colors_w = field.aggregate_color(
-            tp, tp["feats_color"], scene.points,
-            t_idx.reshape(-1, K), t_valid.reshape(-1, K),
-            t_x.reshape(-1, 3), t_dirs.reshape(-1, 3),
-            cfg.rbf, cfg.pos_multires, cfg.view_multires,
+        colors_w = _color_maybe_pairs(
+            tp, scene, t_idx.reshape(-1, K), t_valid.reshape(-1, K),
+            t_x.reshape(-1, 3), t_dirs.reshape(-1, 3), cfg,
         ).reshape(n_rays, W, 3)
         mass_top = jnp.sum(w_top, -1, keepdims=True)
         rgb = jnp.sum(w_top[..., None] * colors_w, axis=1)
         rgb = rgb * (acc / jnp.maximum(mass_top, 1e-10))
     else:
-        colors = field.aggregate_color(
-            tp, tp["feats_color"], scene.points, flat_idx, flat_valid,
-            flat_x, flat_dirs, cfg.rbf, cfg.pos_multires,
-            cfg.view_multires,
+        colors = _color_maybe_pairs(
+            tp, scene, flat_idx, flat_valid, flat_x, flat_dirs, cfg,
         ).reshape(n_rays, S, 3)
         colors = jnp.where(valid_pt[..., None], colors, 0.0)
         rgb = jnp.sum(weights[..., None] * colors, axis=1)
@@ -370,15 +365,34 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
     return out
 
 
+def _color_maybe_pairs(tp, scene, idx, valid, x, dirs, cfg: ModelConfig):
+    """Dense or pair-compacted color path (cfg.color_pair_frac)."""
+    if cfg.color_pair_frac > 0:
+        m, k = idx.shape
+        budget = max(int(m * k * cfg.color_pair_frac) // 256 * 256, 256)
+        return field.aggregate_color_pairs(
+            tp, tp["feats_color"], scene.points, idx, valid, x, dirs,
+            cfg.rbf, budget, cfg.pos_multires, cfg.view_multires,
+        )
+    return field.aggregate_color(
+        tp, tp["feats_color"], scene.points, idx, valid, x, dirs,
+        cfg.rbf, cfg.pos_multires, cfg.view_multires,
+    )
+
+
 def pseudo_sdf_loss(params, scene, out, cfg: ModelConfig):
     """L1-to-zero of SDF at rendered depth points (reference :765-780).
 
     Masked mean over rays whose rendered point has neighbors (the reference
     averages over the compacted valid set only).
     """
+    # budget_frac=None: the occupancy budget is sized for mostly-EMPTY
+    # sampler probes; pseudo points sit at rendered depth (mostly
+    # occupied), so a 0.25 budget would silently drop ~3/4 of the loss
+    # signal at convergence.  One ray-count probe is cheap dense.
     sdf = field.sdf_probe(
         params["frozen"], params["train"]["feats_geometry"], scene,
-        out["pts_rendered"], cfg.k, cfg.r, cfg.rbf,
+        out["pts_rendered"], cfg.k, cfg.r, cfg.rbf, budget_frac=None,
     )
     valid = (sdf < field.SDF_FILLER / 2) & out["ray_mask"]
     abs_sdf = jnp.where(valid, jnp.abs(sdf), 0.0)

@@ -48,7 +48,7 @@ def _flatten_frozen(frozen):
     return layers
 
 
-def _mlp_kernel(*refs, compute_dtype, n_layers):
+def _mlp_kernel(*refs, compute_dtype, n_layers, n_act):
     """Up sweep (value) + down sweep (input gradient), all in VMEM.
 
     In bf16 mode matmul outputs stay bf16 (MXU still accumulates f32
@@ -56,6 +56,11 @@ def _mlp_kernel(*refs, compute_dtype, n_layers):
     elementwise work between matmuls, not the MXU, limits this kernel.
     Down-sweep weights arrive pre-transposed (host-side) so Mosaic never
     transposes in-kernel.
+
+    Layers 0..n_act-1 carry LeakyReLU; the rest are linear.  The frozen
+    net's two trailing linear layers (F_geometry[4] 256->256 and T 256->1)
+    arrive PRE-FUSED host-side into one 256->1 layer (_prep_layers) —
+    exact, and removes a [T,256]x[256,256] matmul from EACH sweep.
     """
     u_ref = refs[0]
     ws = refs[1:1 + n_layers]
@@ -67,13 +72,11 @@ def _mlp_kernel(*refs, compute_dtype, n_layers):
 
     x = u_ref[...].astype(compute_dtype)
     gates = []
-    # up sweep: 35 -> 256 x4 -> 256 -> 1; lrelu after layers 0..n-3, none
-    # after the last F_geometry linear (n-2) nor T (n-1)
     for i in range(n_layers):
         w = ws[i][...].astype(compute_dtype)
         b = bs[i][...].astype(acc_t)
         a = jnp.dot(x, w, preferred_element_type=acc_t) + b
-        if i < n_layers - 2:
+        if i < n_act:
             # lrelu(a) = max(a, slope*a) for slope in (0, 1)
             x = jnp.maximum(a, LEAKY_SLOPE * a)
             gates.append(
@@ -84,24 +87,25 @@ def _mlp_kernel(*refs, compute_dtype, n_layers):
             x = a.astype(compute_dtype)
     out_s_ref[...] = x[:, :1].astype(jnp.float32)
 
-    # down sweep: r = ds/du with pre-transposed weights
+    # down sweep: r = ds/du with pre-transposed weights.  The trailing
+    # linear layers' transposes are likewise pre-fused into wts[-1].
     t = u_ref.shape[0]
     delta = jnp.broadcast_to(
         wts[n_layers - 1][...].astype(compute_dtype), (t, HID)
     )
-    for i in range(n_layers - 2, -1, -1):
+    for i in range(n_act - 1, -1, -1):
+        delta = delta * gates[i]
         wt = wts[i][...].astype(compute_dtype)
         delta = jnp.dot(delta, wt, preferred_element_type=acc_t).astype(
             compute_dtype
         )
-        if i > 0:
-            delta = delta * gates[i - 1]
     out_r_ref[...] = delta.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("tile", "compute_dtype", "interpret"))
+@partial(jax.jit,
+         static_argnames=("tile", "compute_dtype", "interpret", "n_act"))
 def _fused_mlp_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
-                    interpret=False):
+                    interpret=False, n_act=4):
     m = u.shape[0]
     n_layers = len(ws)
     pad = (-m) % tile
@@ -121,7 +125,7 @@ def _fused_mlp_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
 
     s, r = pl.pallas_call(
         partial(_mlp_kernel, compute_dtype=compute_dtype,
-                n_layers=n_layers),
+                n_layers=n_layers, n_act=n_act),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -139,7 +143,7 @@ def _fused_mlp_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
     return s[:m, 0], r[:m]
 
 
-def _value_kernel(*refs, compute_dtype, n_layers):
+def _value_kernel(*refs, compute_dtype, n_layers, n_act):
     u_ref = refs[0]
     ws = refs[1:1 + n_layers]
     bs = refs[1 + n_layers:1 + 2 * n_layers]
@@ -150,16 +154,17 @@ def _value_kernel(*refs, compute_dtype, n_layers):
         w = ws[i][...].astype(compute_dtype)
         b = bs[i][...].astype(acc_t)
         a = jnp.dot(x, w, preferred_element_type=acc_t) + b
-        if i < n_layers - 2:
+        if i < n_act:
             x = jnp.maximum(a, LEAKY_SLOPE * a).astype(compute_dtype)
         else:
             x = a.astype(compute_dtype)
     out_s_ref[...] = x[:, :1].astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("tile", "compute_dtype", "interpret"))
+@partial(jax.jit,
+         static_argnames=("tile", "compute_dtype", "interpret", "n_act"))
 def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
-                      interpret=False):
+                      interpret=False, n_act=4):
     m = u.shape[0]
     n_layers = len(ws)
     pad = (-m) % tile
@@ -176,7 +181,7 @@ def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
         )
     s = pl.pallas_call(
         partial(_value_kernel, compute_dtype=compute_dtype,
-                n_layers=n_layers),
+                n_layers=n_layers, n_act=n_act),
         grid=(mp // tile,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
@@ -208,23 +213,45 @@ def set_tile(tile: int, value_tile: int | None = None):
 
 
 def _prep_layers(frozen, compute_dtype):
-    """Weights cast to the compute dtype HOST-SIDE (outside the grid):
-    the weight blocks are re-fetched per grid step, so f32 refs cost 2x
-    the HBM traffic of bf16 ones; in-kernel casts also burn VPU cycles
-    every tile for the same rounding."""
+    """Host-side weight prep: cast + linear-tail fusion.
+
+    Cast to the compute dtype HOST-SIDE (outside the grid): the weight
+    blocks are re-fetched per grid step, so f32 refs cost 2x the HBM
+    traffic of bf16 ones; in-kernel casts also burn VPU cycles every tile
+    for the same rounding.
+
+    LINEAR-TAIL FUSION: the net's activations stop after layer n_act-1
+    (LeakyReLU follows F_geometry layers 0..3 only; F_geometry[4] and T
+    are both plain linear — reference pointneus_disent.py:86-98).  Their
+    composition collapses EXACTLY (in f32, before the cast) into one
+    256->1 layer: WV = W4 @ W_T, bV = b4 @ W_T + b_T.  That removes a
+    [T,256]x[256,256] matmul from the up sweep AND from the down sweep
+    (~2 of 9 big matmuls), with one fewer bf16 rounding.
+
+    Returns (ws, bs, n_act).
+    """
     layers = _flatten_frozen(frozen)
-    ws = tuple(w.astype(compute_dtype) for w, _ in layers)
-    bs = tuple((b[None] if b.ndim == 1 else b) for _, b in layers)
-    return ws, bs
+    n_act = len(frozen["F_geometry"]) - 1
+    f32 = jnp.float32
+    w_tail, b_tail = layers[n_act]
+    wv = w_tail.astype(f32)
+    bv = b_tail.astype(f32)
+    for w, b in layers[n_act + 1:]:
+        bv = bv @ w.astype(f32) + b.astype(f32)
+        wv = wv @ w.astype(f32)
+    fused = layers[:n_act] + [(wv, bv)]
+    ws = tuple(w.astype(compute_dtype) for w, _ in fused)
+    bs = tuple((b[None] if b.ndim == 1 else b) for _, b in fused)
+    return ws, bs, n_act
 
 
 def pair_sdf_value(frozen, u, compute_dtype=jnp.bfloat16):
     """Value-only fused MLP (no-grad probe paths — sampler importance,
     marching-cubes probe): one up sweep, half the grad kernel's work."""
-    ws, bs = _prep_layers(frozen, compute_dtype)
+    ws, bs, n_act = _prep_layers(frozen, compute_dtype)
     tile = min(VALUE_TILE, max(256, 1 << (u.shape[0] - 1).bit_length()))
     return _fused_value_call(u, ws, bs, compute_dtype=compute_dtype,
-                             tile=tile, **_kernel_kwargs(u))
+                             tile=tile, n_act=n_act, **_kernel_kwargs(u))
 
 
 def _kernel_kwargs(u):
@@ -234,10 +261,10 @@ def _kernel_kwargs(u):
 
 
 def _fwd_impl(frozen, u, compute_dtype):
-    ws, bs = _prep_layers(frozen, compute_dtype)
+    ws, bs, n_act = _prep_layers(frozen, compute_dtype)
     tile = min(GRAD_TILE, max(256, 1 << (u.shape[0] - 1).bit_length()))
     return _fused_mlp_call(
-        u, ws, bs, compute_dtype=compute_dtype, tile=tile,
+        u, ws, bs, compute_dtype=compute_dtype, tile=tile, n_act=n_act,
         **_kernel_kwargs(u),
     )
 

@@ -215,6 +215,64 @@ def build_query_table(points: jnp.ndarray, spec: VoxelGridSpec,
     return QueryTable(idx=qidx, pos=qpos, r=r)
 
 
+def fine_spec(spec: VoxelGridSpec) -> VoxelGridSpec:
+    """The occupancy-bitmap grid: same bounds, cell edge = voxel_size
+    (the COARSE query grid's cell is voxel_size * voxel_scale = 3x)."""
+    import dataclasses
+    return dataclasses.replace(spec, voxel_scale=1.0)
+
+
+@partial(jax.jit, static_argnames=("spec", "r"))
+def build_occupancy_bitmap(points: jnp.ndarray, spec: VoxelGridSpec,
+                           r: float = 2.0) -> jnp.ndarray:
+    """``[F]`` bool: fine cell has a point within ``r * voxel_size`` of its
+    BOX — the exact cell-granular superset of "a query in this cell can
+    have a neighbor".
+
+    The coarse query-table test (candidate list of the 0.075-edge cell
+    non-empty) over-selects by the cell diagonal: a sample can be marked
+    occupied while ~0.18 away from every point.  At fine (0.025) cells the
+    slack drops to ~0.09 — measured worst-view ray occupancy on the bench
+    scenes falls 0.94 -> ~0.8, which is what makes the ray/probe
+    compaction budgets bite.  One-time build per scene (points never
+    move); ~0.5 MB at +-1 bounds.
+    """
+    fs = fine_spec(spec)
+    radius = spec.radius(r)
+    h = fs.cell_size
+    half = int(np.ceil(radius / h))
+    rng = np.arange(-half, half + 1)
+    offsets = jnp.asarray(
+        np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
+                 axis=-1).reshape(-1, 3).astype(np.int32)
+    )                                                          # [W, 3]
+    dims = jnp.asarray(fs.dims, dtype=jnp.int32)
+    lo = jnp.asarray(fs.lo, dtype=points.dtype)
+
+    ijk0 = jnp.floor((points - lo) / h).astype(jnp.int32)      # [N, 3]
+    nb = ijk0[:, None, :] + offsets[None]                      # [N, W, 3]
+    in_r = jnp.all((nb >= 0) & (nb < dims), axis=-1)
+    box_lo = lo + nb.astype(points.dtype) * h
+    box_hi = box_lo + h
+    p = points[:, None, :]
+    excess = jnp.maximum(box_lo - p, 0.0) + jnp.maximum(p - box_hi, 0.0)
+    d2 = jnp.sum(excess * excess, axis=-1)
+    ok = in_r & (d2 <= radius * radius)
+    lin = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+    occ = jnp.zeros((fs.num_cells,), dtype=bool)
+    return occ.at[jnp.where(ok, lin, fs.num_cells)].set(True, mode="drop")
+
+
+def fine_occupancy(x: jnp.ndarray, occ_fine: jnp.ndarray,
+                   spec: VoxelGridSpec) -> jnp.ndarray:
+    """Per-position occupancy test against the fine bitmap (one int gather
+    per position).  False guarantees query_grid finds no neighbor there."""
+    fs = fine_spec(spec)
+    cid = _cell_ids(x, fs)
+    in_grid = cid < fs.num_cells
+    return occ_fine[jnp.where(in_grid, cid, 0)] & in_grid
+
+
 @partial(jax.jit, static_argnames=("spec", "k", "sort_queries"))
 def query_grid(x: jnp.ndarray, qt: QueryTable, spec: VoxelGridSpec,
                k: int = 8, sort_queries: bool = False):

@@ -34,32 +34,54 @@ from spurfies_tpu.model.renderer import (
 from spurfies_tpu.train.optim import build_optimizer
 
 
-def _calibrate_ray_budget(scene, views, cfg: Config,
-                          margin: float = 0.06) -> float:
+def _calibrate_ray_budget(scene, views, cfg: Config) -> float:
     """Measure the coarse ray-occupancy fraction over the train views.
 
     Returns the scene-adaptive ray_budget_frac: worst-view occupancy plus
-    a ~4-sigma margin for 1024-ray batch sampling noise, capped at 1.0
-    (dense).  One-time host readback, like shrink_query_table."""
-    from spurfies_tpu.core.cameras import get_camera_params
-    from spurfies_tpu.model.renderer import _coarse_ray_occupancy
+    a 4-sigma binomial margin for num_pixels-ray batch sampling noise,
+    capped at 1.0 (dense).  Overflow past the margin (~3e-5 of steps)
+    drops a few occupied rays from that batch — excluded from losses like
+    misses, harmless.  Pure numpy (one [F]-bool bitmap readback) so the
+    default ``ray_budget_frac=-1`` adds no XLA compile to Trainer
+    construction."""
+    from spurfies_tpu.ops.voxel_grid import fine_spec
 
-    uv_all = jnp.asarray(views["uv"])
+    spec = fine_spec(scene.spec)
+    scfg = cfg.model.ray_sampler
+    occ0 = np.asarray(scene.occ_fine)                      # [F]
+    dims = np.asarray(spec.dims)
+    lo = np.asarray(spec.lo, dtype=np.float32)
+
+    uv_all = np.asarray(views["uv"], dtype=np.float32)
     n_px = uv_all.shape[0]
     sub = np.random.RandomState(0).choice(
         n_px, size=min(8192, n_px), replace=False
     )
-    uv = uv_all[sub][None]
+    uv = uv_all[sub]
+    z = np.linspace(scfg.near, scfg.far, scfg.n_samples_eval,
+                    dtype=np.float32)
     worst = 0.0
     for v in range(np.asarray(views["pose"]).shape[0]):
-        pose = jnp.asarray(views["pose"][v])[None]
-        intr = jnp.asarray(views["intrinsics"][v])[None]
-        dirs_b, cam_b = get_camera_params(uv, pose, intr)
-        dirs = dirs_b.reshape(-1, 3)
-        cam = jnp.broadcast_to(cam_b[:, None, :], dirs_b.shape).reshape(-1, 3)
-        occ = _coarse_ray_occupancy(cam, dirs, scene, cfg.model.ray_sampler)
-        worst = max(worst, float(jnp.mean(occ)))
-    return min(1.0, worst + margin)
+        pose = np.asarray(views["pose"][v], dtype=np.float32)
+        K = np.asarray(views["intrinsics"][v], dtype=np.float32)
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy, sk = K[0, 2], K[1, 2], K[0, 1]
+        x, y = uv[:, 0], uv[:, 1]
+        # pinhole+skew lift at depth 1 (core/cameras.lift)
+        xl = (x - cx + cy * sk / fy - sk * y / fy) / fx
+        yl = (y - cy) / fy
+        d = np.stack([xl, yl, np.ones_like(xl)], -1) @ pose[:3, :3].T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pts = pose[:3, 3] + z[None, :, None] * d[:, None, :]  # [P, Z, 3]
+        ijk = np.floor((pts - lo) / np.float32(spec.cell_size)).astype(
+            np.int64)
+        in_r = np.all((ijk >= 0) & (ijk < dims), axis=-1)
+        ijk = np.clip(ijk, 0, dims - 1)
+        lin = (ijk[..., 0] * dims[1] + ijk[..., 1]) * dims[2] + ijk[..., 2]
+        occ = occ0[lin] & in_r
+        worst = max(worst, float(occ.any(axis=1).mean()))
+    sigma = np.sqrt(worst * (1.0 - worst) / max(cfg.train.num_pixels, 1))
+    return min(1.0, worst + 4.0 * sigma)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -237,7 +259,8 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
         params = {"frozen": frozen, "train": tp}
         out = render_rays(params, scene, inputs, key, mcfg, train=False,
                           iters=iters)
-        keep = ("rgb_values", "depth_values", "normal_map", "acc", "weights")
+        keep = ("rgb_values", "depth_values", "normal_map", "acc",
+                "weights", "ray_mask")
         return {k: out[k] for k in keep}
 
     def render_image(tp, scene, frozen, uv, pose, intrinsics, key):

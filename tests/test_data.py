@@ -133,8 +133,13 @@ class TestConfig:
     def test_presets(self):
         from spurfies_tpu.config import PRESETS
 
+        # reference_exact differs from the default ONLY in pinning the
+        # dense (uncompacted) ray batch — the default ray_budget_frac=-1
+        # is reference-equivalent but changes the RNG stream
+        ref = apply_overrides(Config(), ["preset=reference_exact"])
+        assert ref.model.ray_budget_frac == 0
         assert apply_overrides(
-            Config(), ["preset=reference_exact"]) == Config()
+            ref, ["model.ray_budget_frac=-1"]) == Config()
         # later explicit overrides win over preset values
         cfg = apply_overrides(
             Config(), ["preset=throughput", "model.occ_compact=false"])

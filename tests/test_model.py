@@ -209,6 +209,94 @@ class TestField:
         hi = pair_s[np.asarray(valid)].max() + 1e-4
         assert (s_p[covered] >= lo).all() and (s_p[covered] <= hi).all()
 
+    def test_pairs_overflow_keeps_every_point_covered(self, sphere_scene):
+        """Column-major compaction: overflow sheds FARTHEST neighbors of
+        tail points; as long as budget >= #points-with-neighbors, every
+        such point keeps its nearest pair (no holes — the render_budget
+        failure mode)."""
+        scene, params = sphere_scene
+        frozen = params["frozen"]
+        geo = params["train"]["feats_geometry"]
+        x = scene.points[:32] + 0.01
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
+        valid = idx >= 0
+        has_any = int(np.sum(np.asarray(valid).any(axis=-1)))
+        n_valid = int(np.sum(np.asarray(valid)))
+        budget = max(has_any + 4, n_valid // 3)      # heavy overflow
+        assert budget < n_valid
+
+        s_p, _ = field.sdf_and_grad_pairs(frozen, geo, scene.points, idx,
+                                          valid, x, CFG.rbf, budget)
+        covered = np.asarray(s_p) < 100.0
+        assert covered.sum() == has_any
+
+    def test_pairs_fused_matches_vmap(self, sphere_scene):
+        """The fused-kernel branch of sdf_and_grad_pairs (interpret mode
+        off-TPU) matches the vmap branch."""
+        scene, params = sphere_scene
+        frozen = params["frozen"]
+        geo = params["train"]["feats_geometry"]
+        x = scene.points[:16] + 0.008
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
+        valid = idx >= 0
+        budget = int(np.sum(np.asarray(valid))) + 8
+
+        s_v, g_v = field.sdf_and_grad_pairs(frozen, geo, scene.points, idx,
+                                            valid, x, CFG.rbf, budget)
+        field.set_fused_mlp("on", jnp.float32)
+        try:
+            s_f, g_f = field.sdf_and_grad_pairs(
+                frozen, geo, scene.points, idx, valid, x, CFG.rbf, budget)
+        finally:
+            field.set_fused_mlp("auto", jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_v),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_v),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_color_pairs_match_dense(self, sphere_scene):
+        """aggregate_color_pairs == aggregate_color when the budget holds
+        all valid pairs, in f32, including gradients w.r.t. latents."""
+        scene, params = sphere_scene
+        tp = params["train"]
+        rng = np.random.default_rng(11)
+        x = jnp.concatenate([
+            scene.points[:24] + jnp.asarray(
+                rng.normal(0, 0.01, (24, 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0.8, 0.95, (8, 3)).astype(np.float32)),
+        ])
+        from spurfies_tpu.ops.voxel_grid import query_grid
+        idx, _ = query_grid(x, scene.table, scene.spec, k=CFG.k)
+        valid = idx >= 0
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (x.shape[0], 1))
+        budget = int(np.sum(np.asarray(valid))) + 16
+
+        rgb_d = field.aggregate_color(
+            tp, tp["feats_color"], scene.points, idx, valid, x, dirs,
+            CFG.rbf, compute_dtype=jnp.float32)
+        rgb_p = field.aggregate_color_pairs(
+            tp, tp["feats_color"], scene.points, idx, valid, x, dirs,
+            CFG.rbf, budget, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_d),
+                                   rtol=1e-4, atol=1e-5)
+
+        def loss_d(feats):
+            return jnp.sum(field.aggregate_color(
+                tp, feats, scene.points, idx, valid, x, dirs, CFG.rbf,
+                compute_dtype=jnp.float32))
+
+        def loss_p(feats):
+            return jnp.sum(field.aggregate_color_pairs(
+                tp, feats, scene.points, idx, valid, x, dirs, CFG.rbf,
+                budget, compute_dtype=jnp.float32))
+
+        gd = jax.grad(loss_d)(tp["feats_color"])
+        gp = jax.grad(loss_p)(tp["feats_color"])
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-5)
+
     def test_color_range(self, sphere_scene):
         scene, params = sphere_scene
         x = scene.points[:8] + 0.005

@@ -176,6 +176,62 @@ class TestShrinkQueryTable:
         assert qt_s.idx.shape == qt.idx.shape
 
 
+class TestOccupancyBitmap:
+    def test_superset_of_has_neighbor(self, rng):
+        """Wherever query_grid finds ANY neighbor, the fine bitmap must
+        read occupied (the probe/ray prefilters rely on this), and the
+        bitmap must be strictly tighter than marking everything."""
+        from spurfies_tpu.ops.voxel_grid import (
+            build_occupancy_bitmap,
+            fine_occupancy,
+        )
+        pts = _random_cloud(rng, 800, scale=0.5)
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=2.0)
+        occ = build_occupancy_bitmap(jnp.asarray(pts), SPEC, r=2.0)
+
+        x = _random_cloud(rng, 4000, scale=0.9)
+        idx, _ = query_grid(jnp.asarray(x), qt, SPEC, k=4)
+        has = np.asarray(idx >= 0).any(axis=-1)
+        marked = np.asarray(fine_occupancy(jnp.asarray(x), occ, SPEC))
+        assert (marked | ~has).all()          # superset
+        assert marked.mean() < 1.0            # and it actually prunes
+
+    def test_out_of_range_unoccupied(self, rng):
+        from spurfies_tpu.ops.voxel_grid import (
+            build_occupancy_bitmap,
+            fine_occupancy,
+        )
+        pts = _random_cloud(rng, 100, scale=0.5)
+        occ = build_occupancy_bitmap(jnp.asarray(pts), SPEC, r=2.0)
+        x = jnp.asarray([[5.0, 5.0, 5.0], [-3.0, 0.0, 0.0]])
+        assert not np.asarray(fine_occupancy(x, occ, SPEC)).any()
+
+    def test_tighter_than_coarse_candidate_test(self, rng):
+        """The point of the fine bitmap: strictly fewer positions marked
+        than the coarse cell-candidate-list test."""
+        from spurfies_tpu.ops.voxel_grid import (
+            _cell_ids,
+            build_occupancy_bitmap,
+            fine_occupancy,
+        )
+        # thin shell — the geometry where coarse over-selection is worst
+        v = rng.normal(size=(2000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        pts = (0.5 * v).astype(np.float32)
+        qt = build_query_table(jnp.asarray(pts), SPEC, r=2.0)
+        occ = build_occupancy_bitmap(jnp.asarray(pts), SPEC, r=2.0)
+
+        x = _random_cloud(rng, 8000, scale=0.9)
+        cid = _cell_ids(jnp.asarray(x), SPEC)
+        in_g = np.asarray(cid < SPEC.num_cells)
+        coarse = np.asarray(
+            (qt.idx[jnp.where(cid < SPEC.num_cells, cid, 0), 0] >= 0)
+        ) & in_g
+        fine = np.asarray(fine_occupancy(jnp.asarray(x), occ, SPEC))
+        assert (coarse | ~fine).all()          # fine implies coarse
+        assert fine.mean() < 0.8 * coarse.mean()
+
+
 class TestVoxelDownsample:
     def test_reduces_and_preserves(self, rng):
         pts = _random_cloud(rng, 5000, scale=0.5)
