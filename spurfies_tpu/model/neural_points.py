@@ -77,7 +77,7 @@ def shrink_query_table(table: QueryTable, spec: VoxelGridSpec):
     if qcap >= spec.qcap:
         return table, spec
     table = QueryTable(idx=table.idx[:, :qcap], pos=table.pos[:, :, :qcap],
-                       r=table.r)
+                       r=table.r, n_points=table.n_points)
     return table, dataclasses.replace(spec, qcap=qcap)
 
 

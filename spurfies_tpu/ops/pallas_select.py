@@ -54,17 +54,65 @@ def _select_kernel(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref, *,
         d2 = jnp.where(clear, jnp.inf, d2)
 
 
-@partial(jax.jit, static_argnames=("k", "radius2", "tile", "interpret"))
+_ID_BITS = 15                # packed candidate-id width (N <= 32768)
+_SENTINEL = 2 ** 30          # > any packed key (d2 < 2 via radius <= 1.4)
+
+
+def _select_kernel_packed(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref,
+                          *, k: int, radius2: float):
+    """Packed-key extraction: candidate id in the low 15 mantissa bits of
+    the (bitcast) d2 key.  Non-negative f32 bitcasts to int32
+    order-preserving, so a single min-reduce yields BOTH the winner's
+    distance and its id — no index-recovery max-reduce, and the clear
+    mask is an exact integer compare (ids are unique per row).  Each
+    round is 3 VPU passes instead of 6.
+
+    Cost: the low 15 of 23 mantissa bits carry the id, so d2 is rounded
+    to ~2^-8 relative — neighbor ORDER can swap only between candidates
+    whose distances differ by <0.4% (RBF weights differ equally little);
+    the radius test happens in exact f32 BEFORE packing.  Used when the
+    point-cloud id fits 15 bits (N <= 32768; vox_res=300 scenes are
+    ~6-30k points) — the exact kernel above serves the rest.
+    """
+    x = x_ref[...]            # [T, 3]
+    pos = pos_ref[...]        # [T, 3, Q]
+    cand = idx_ref[...]       # [T, Q]
+
+    d2 = jnp.zeros(cand.shape, dtype=jnp.float32)
+    for d in range(3):
+        diff = pos[:, d, :] - x[:, d][:, None]
+        d2 = d2 + diff * diff
+
+    ok = (cand >= 0) & (d2 <= radius2)
+    mask = 2 ** _ID_BITS - 1
+    sentinel = jnp.full((), _SENTINEL, jnp.int32)
+    key = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    key = (key & ~mask) | cand
+    key = jnp.where(ok, key, sentinel)
+
+    for j in range(k):
+        m = jnp.min(key, axis=-1)                        # [T]
+        valid = m < _SENTINEL
+        out_idx_ref[:, j] = jnp.where(valid, m & mask, -1)
+        d2_j = jax.lax.bitcast_convert_type(m & ~mask, jnp.float32)
+        out_d2_ref[:, j] = jnp.where(valid, d2_j, jnp.inf)
+        key = jnp.where(key == m[:, None], sentinel, key)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "radius2", "tile", "interpret", "packed"))
 def select_knn_pallas(x: jnp.ndarray, cand_idx: jnp.ndarray,
                       cand_pos: jnp.ndarray, k: int = 8,
                       radius2: float = 0.0025, tile: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, packed: bool = False):
     """Fused distance + k-nearest selection.
 
     Args:
       x: ``[M, 3]`` queries.
       cand_idx: ``[M, Q]`` int32 candidate point ids (-1 empty).
       cand_pos: ``[M, 3, Q]`` candidate positions (inf where empty).
+      packed: use the packed-key kernel (requires ids < 2**15; d2 rounded
+        to ~0.4% relative, near-tie neighbor order may swap).
 
     Returns (idx ``[M, k]`` int32 nearest-first, d2 ``[M, k]`` inf-invalid).
     """
@@ -80,8 +128,9 @@ def select_knn_pallas(x: jnp.ndarray, cand_idx: jnp.ndarray,
     mp = m + pad
 
     grid = (mp // tile,)
+    kernel = _select_kernel_packed if packed else _select_kernel
     out_idx, out_d2 = pl.pallas_call(
-        partial(_select_kernel, k=k, radius2=radius2),
+        partial(kernel, k=k, radius2=radius2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0),

@@ -84,17 +84,22 @@ class VoxelGridSpec:
 @dataclass
 class QueryTable:
     """Per-cell candidate lists: idx ``[C, qcap]`` (-1 empty), pos
-    ``[C, 3, qcap]`` (inf where empty), built for a fixed query radius."""
+    ``[C, 3, qcap]`` (inf where empty), built for a fixed query radius.
+    ``n_points`` (static) gates the packed-key select kernel (ids must
+    fit 15 bits)."""
     idx: jnp.ndarray
     pos: jnp.ndarray
     r: float = 2.0
+    n_points: int = 0
 
     def tree_flatten(self):
-        return (self.idx, self.pos), self.r
+        return (self.idx, self.pos), (self.r, self.n_points)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        if not isinstance(aux, tuple):      # pre-n_points checkpoints
+            aux = (aux, 0)
+        return cls(children[0], children[1], *aux)
 
 
 def _cell_ids(points: jnp.ndarray, spec: VoxelGridSpec) -> jnp.ndarray:
@@ -212,7 +217,7 @@ def build_query_table(points: jnp.ndarray, spec: VoxelGridSpec,
         ],
         axis=1,
     )                                                          # [C, 3, qcap]
-    return QueryTable(idx=qidx, pos=qpos, r=r)
+    return QueryTable(idx=qidx, pos=qpos, r=r, n_points=points.shape[0])
 
 
 def fine_spec(spec: VoxelGridSpec) -> VoxelGridSpec:
@@ -312,11 +317,15 @@ def query_grid(x: jnp.ndarray, qt: QueryTable, spec: VoxelGridSpec,
     if jax.default_backend() == "tpu" and x.shape[0] >= 1024:
         # fused distance + iterative top-k in VMEM (exact match of the XLA
         # path below; the bitonic lax.top_k and the [M, qcap] HBM
-        # intermediates are the expensive parts it removes)
+        # intermediates are the expensive parts it removes).  Packed-key
+        # variant (id in the key's low mantissa bits — one reduce per
+        # extraction round instead of two) when point ids fit 15 bits.
         from spurfies_tpu.ops.pallas_select import select_knn_pallas
         cand = jnp.where(in_grid[:, None], cand, -1)
+        packed = 0 < qt.n_points <= 2 ** 15
         return select_knn_pallas(x, cand, cpos, k=k,
-                                 radius2=float(radius2), tile=1024)
+                                 radius2=float(radius2), tile=1024,
+                                 packed=packed)
 
     diff = x[:, :, None] - cpos                                # aligned tiles
     d2 = jnp.sum(diff * diff, axis=1)                          # [M, qcap]
