@@ -44,44 +44,56 @@ def _calibrate_ray_budget(scene, views, cfg: Config) -> float:
     misses, harmless.  Pure numpy (one [F]-bool bitmap readback) so the
     default ``ray_budget_frac=-1`` adds no XLA compile to Trainer
     construction."""
-    from spurfies_tpu.ops.voxel_grid import fine_spec
-
-    spec = fine_spec(scene.spec)
-    scfg = cfg.model.ray_sampler
     occ0 = np.asarray(scene.occ_fine)                      # [F]
-    dims = np.asarray(spec.dims)
-    lo = np.asarray(spec.lo, dtype=np.float32)
-
     uv_all = np.asarray(views["uv"], dtype=np.float32)
     n_px = uv_all.shape[0]
     sub = np.random.RandomState(0).choice(
         n_px, size=min(8192, n_px), replace=False
     )
     uv = uv_all[sub]
-    z = np.linspace(scfg.near, scfg.far, scfg.n_samples_eval,
-                    dtype=np.float32)
     worst = 0.0
     for v in range(np.asarray(views["pose"]).shape[0]):
-        pose = np.asarray(views["pose"][v], dtype=np.float32)
-        K = np.asarray(views["intrinsics"][v], dtype=np.float32)
-        fx, fy = K[0, 0], K[1, 1]
-        cx, cy, sk = K[0, 2], K[1, 2], K[0, 1]
-        x, y = uv[:, 0], uv[:, 1]
-        # pinhole+skew lift at depth 1 (core/cameras.lift)
-        xl = (x - cx + cy * sk / fy - sk * y / fy) / fx
-        yl = (y - cy) / fy
-        d = np.stack([xl, yl, np.ones_like(xl)], -1) @ pose[:3, :3].T
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        pts = pose[:3, 3] + z[None, :, None] * d[:, None, :]  # [P, Z, 3]
-        ijk = np.floor((pts - lo) / np.float32(spec.cell_size)).astype(
-            np.int64)
-        in_r = np.all((ijk >= 0) & (ijk < dims), axis=-1)
-        ijk = np.clip(ijk, 0, dims - 1)
-        lin = (ijk[..., 0] * dims[1] + ijk[..., 1]) * dims[2] + ijk[..., 2]
-        occ = occ0[lin] & in_r
-        worst = max(worst, float(occ.any(axis=1).mean()))
+        occ = _rays_occupied_np(
+            occ0, scene.spec, cfg.model.ray_sampler, uv,
+            np.asarray(views["pose"][v]), np.asarray(views["intrinsics"][v])
+        )
+        worst = max(worst, float(occ.mean()))
     sigma = np.sqrt(worst * (1.0 - worst) / max(cfg.train.num_pixels, 1))
     return min(1.0, worst + 4.0 * sigma)
+
+
+def _rays_occupied_np(occ0, spec, scfg, uv, pose, K):
+    """Pure-numpy per-ray fine-bitmap occupancy (the host-side twin of
+    renderer._coarse_ray_occupancy): does any of the n_samples_eval
+    uniform z samples land in an occupied fine cell?
+
+    Shared by the auto ray-budget calibration and the eval renderer's
+    empty-chunk skip.  Returns ``[P]`` bool."""
+    from spurfies_tpu.ops.voxel_grid import fine_spec
+
+    fs = fine_spec(spec)
+    dims = np.asarray(fs.dims)
+    lo = np.asarray(fs.lo, dtype=np.float32)
+    pose = np.asarray(pose, dtype=np.float32)
+    K = np.asarray(K, dtype=np.float32)
+    uv = np.asarray(uv, dtype=np.float32)
+    z = np.linspace(scfg.near, scfg.far, scfg.n_samples_eval,
+                    dtype=np.float32)
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy, sk = K[0, 2], K[1, 2], K[0, 1]
+    x, y = uv[:, 0], uv[:, 1]
+    # pinhole+skew lift at depth 1 (core/cameras.lift)
+    xl = (x - cx + cy * sk / fy - sk * y / fy) / fx
+    yl = (y - cy) / fy
+    d = np.stack([xl, yl, np.ones_like(xl)], -1) @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pts = pose[:3, 3] + z[None, :, None] * d[:, None, :]      # [P, Z, 3]
+    ijk = np.floor((pts - lo) / np.float32(fs.cell_size)).astype(np.int64)
+    in_r = np.all((ijk >= 0) & (ijk < dims), axis=-1)
+    ijk = np.clip(ijk, 0, dims - 1)
+    lin = (ijk[..., 0] * dims[1] + ijk[..., 1]) * dims[2] + ijk[..., 2]
+    return (occ0[lin] & in_r).any(axis=1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -263,13 +275,57 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
                 "weights", "ray_mask")
         return {k: out[k] for k in keep}
 
+    def _empty_chunk(eff):
+        """Host-side outputs for a chunk whose rays all miss — identical
+        to what the renderer emits for miss rays (renderer.py miss
+        defaults; white_bkgd composites bg onto zero-acc rays)."""
+        rgb = np.zeros((eff, 3), np.float32)
+        if mcfg.white_bkgd:
+            rgb[:] = np.asarray(mcfg.bg_color, np.float32)
+        return {
+            "rgb_values": rgb,
+            "depth_values": np.ones((eff, 1), np.float32),
+            "normal_map": np.zeros((eff, 3), np.float32),
+            "acc": np.zeros((eff, 1), np.float32),
+            "weights": np.zeros((eff, mcfg.max_shading_pts), np.float32),
+            "ray_mask": np.zeros((eff,), bool),
+        }
+
     def render_image(tp, scene, frozen, uv, pose, intrinsics, key):
         n = uv.shape[0]
         eff = min(chunk, -(-n // align) * align)
         pad = (-n) % eff
         uv_p = np.pad(np.asarray(uv), ((0, pad), (0, 0)))
+        # EMPTY-CHUNK SKIP: a fully-background chunk (fine-bitmap test on
+        # the host, numpy) never hits the device — its rays are
+        # guaranteed misses (superset property), so the defaults below
+        # are exactly what the renderer would return.  Real frames carry
+        # large background bands; this is the eval-side analogue of the
+        # train-side ray compaction.  cfg.train.render_skip_empty=false
+        # restores the dense loop.
+        occ_np = None
+        if cfg.train.render_skip_empty and scene.occ_fine is not None:
+            occ_np = np.asarray(scene.occ_fine)
+
+        def chunk_is_empty(uv_chunk):
+            # two-stage host test: a 1/16-ray screen exits occupied
+            # chunks almost immediately (the full 128-z scan over every
+            # ray costs ~7 s/image at 384x512 — measured regression);
+            # only screen-empty chunks pay the full verification that
+            # the skip's miss defaults are exact
+            if _rays_occupied_np(occ_np, scene.spec, mcfg.ray_sampler,
+                                 uv_chunk[::16], pose, intrinsics).any():
+                return False
+            return not _rays_occupied_np(
+                occ_np, scene.spec, mcfg.ray_sampler, uv_chunk, pose,
+                intrinsics,
+            ).any()
+
         outs = []
         for i in range(0, n + pad, eff):
+            if occ_np is not None and chunk_is_empty(uv_p[i:i + eff]):
+                outs.append(_empty_chunk(eff))
+                continue
             inputs = {
                 "uv": jnp.asarray(uv_p[i:i + eff])[None],
                 "pose": pose[None],

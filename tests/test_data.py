@@ -134,12 +134,15 @@ class TestConfig:
         from spurfies_tpu.config import PRESETS
 
         # reference_exact differs from the default ONLY in pinning the
-        # dense (uncompacted) ray batch — the default ray_budget_frac=-1
-        # is reference-equivalent but changes the RNG stream
+        # dense ray batch + dense eval chunk loop — the defaults
+        # (ray_budget_frac=-1, render_skip_empty) are
+        # reference-equivalent compactions
         ref = apply_overrides(Config(), ["preset=reference_exact"])
         assert ref.model.ray_budget_frac == 0
+        assert ref.train.render_skip_empty is False
         assert apply_overrides(
-            ref, ["model.ray_budget_frac=-1"]) == Config()
+            ref, ["model.ray_budget_frac=-1",
+                  "train.render_skip_empty=true"]) == Config()
         # later explicit overrides win over preset values
         cfg = apply_overrides(
             Config(), ["preset=throughput", "model.occ_compact=false"])

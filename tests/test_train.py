@@ -109,6 +109,54 @@ def test_auto_ray_budget_calibration():
     assert np.isfinite(metrics[-1][1]["loss"])
 
 
+def test_render_skip_empty_matches_dense():
+    """Empty-chunk skipping emits exactly what the dense renderer returns
+    for background chunks (superset property of the fine bitmap)."""
+    import dataclasses
+
+    # small radius: the sphere covers only the middle rows, so the
+    # 64-ray (2-row) chunks at the frame's top/bottom are all background
+    pts, cols, views = make_synthetic_scene(
+        n_points=2000, n_views=2, img_res=(32, 32), radius=0.2
+    )
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(TINY.train, num_pixels=64, eval_iters=1,
+                                  render_chunk=64),
+    )
+    trainer = Trainer(cfg, pts, cols, views)
+    trainer.run(5, window=5)
+
+    from spurfies_tpu.train.trainer import (_rays_occupied_np,
+                                            make_render_fn)
+    uv = np.asarray(trainer.views["uv"])
+    pose = trainer.views["pose"][0]
+    intr = trainer.views["intrinsics"][0]
+    key = jax.random.PRNGKey(3)
+
+    # fixture sanity: the view must actually have at least one
+    # all-background chunk for this test to bite
+    occ = _rays_occupied_np(
+        np.asarray(trainer.scene.occ_fine), trainer.scene.spec,
+        cfg.model.ray_sampler, uv, np.asarray(pose), np.asarray(intr))
+    per_chunk = occ.reshape(-1, 64).any(axis=1)
+    assert not per_chunk.all(), "fixture has no empty chunk; shrink chunk"
+
+    out_skip = trainer.render_image(trainer.state.params, uv, pose, intr,
+                                    key)
+    dense_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, render_skip_empty=False)
+    )
+    render_dense = make_render_fn(dense_cfg)
+    out_dense = render_dense(trainer.state.params, trainer.scene,
+                             trainer.frozen, uv, pose, intr, key)
+    for k in out_dense:
+        np.testing.assert_allclose(
+            np.asarray(out_skip[k]), np.asarray(out_dense[k]),
+            atol=1e-6, err_msg=k,
+        )
+
+
 @pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     pts, cols, views = make_synthetic_scene(
