@@ -104,6 +104,64 @@ def _gather_latents_bwd(res, ct):
 gather_latents.defvjp(_gather_latents_fwd, _gather_latents_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows(table, idx, n_grad):
+    """``table[idx]`` scattering only the first ``n_grad`` cotangent
+    columns in the VJP (the rest of the row is static data — point
+    positions — whose cotangent the caller discards anyway)."""
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx, n_grad):
+    return table[idx], (idx, table.shape)
+
+
+def _gather_rows_bwd(n_grad, res, ct):
+    idx, (n, d_tot) = res
+    flat_ct = ct.reshape(-1, d_tot)[:, :n_grad]
+    flat_idx = idx.reshape(-1)
+    if SCATTER_MODE == "pallas" and jax.default_backend() == "tpu":
+        from spurfies_tpu.ops.pallas_scatter import scatter_add_rows
+        g = scatter_add_rows(flat_ct, flat_idx, n)
+    else:
+        g = jnp.zeros((n, n_grad), flat_ct.dtype).at[flat_idx].add(flat_ct)
+    g = jnp.pad(g, ((0, 0), (0, d_tot - n_grad)))
+    zero_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return g, zero_idx
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def gather_pair_inputs(latents, points, safe_idx, x):
+    """Per-pair MLP input ``[latent | x - points[idx]]`` in one gather.
+
+    The reference assembles pair features with two CUDA gathers + a cat
+    (pointneus_disent.py:300-315); the straight XLA translation (gather
+    latents, gather npos, subtract, concatenate) materializes four
+    ``[M*K, ·]`` HBM intermediates and measured ~3.4 ms of the 37 ms train
+    step (trace r3).  Here the scene builds ONE combined ``[N, D+3]``
+    table (latent rows ‖ point positions); a single row gather plus one
+    elementwise ``where`` fusion assembles u in-register:
+
+        u = where(col < D, g, x_pad - g)      # last 3 cols: x - npos
+
+    Positions are static scene geometry (SceneState contract), so the
+    gather VJP scatters only the latent columns; the x_pi cotangent flows
+    to ``x`` through the where-expression, not the table.
+
+    Returns ``u [M, K, D+3]`` with ``u[..., D:] == x[:, None] - npos``
+    (bit-exact vs the separate-gather path).
+    """
+    d = latents.shape[1]
+    table = jnp.concatenate(
+        [latents, jax.lax.stop_gradient(points).astype(latents.dtype)], 1)
+    g = _gather_rows(table, safe_idx, d)                  # [M, K, D+3]
+    xpad = jnp.pad(x, ((0, 0), (d, 0)))
+    col = jnp.arange(d + 3, dtype=jnp.int32) < d
+    return jnp.where(col, g, xpad[:, None, :] - g)
+
+
 FUSED_MLP_MODE = "auto"   # "auto" (TPU only) | "on" (incl. interpret) | "off"
 FUSED_COLOR = False       # fused color kernel: measured net-negative (see
 #                           aggregate_color note); flip to re-evaluate
@@ -154,13 +212,12 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf,
       (sdf ``[M]`` — SDF_FILLER where no valid neighbor, any ``[M]`` bool).
     """
     safe_idx = jnp.maximum(idx, 0)
-    npos = points[safe_idx]                       # [M, K, 3]
-    gfeat = geo_latents[safe_idx]                 # [M, K, 32]
-    x_pi = x[:, None, :] - npos
-    w, norm = rbf_weights(x_pi, valid, rbf)
     if _use_fused():
         m, k = idx.shape
-        u = jnp.concatenate([gfeat, x_pi], axis=-1).reshape(m * k, -1)
+        d = geo_latents.shape[1]
+        u3 = gather_pair_inputs(geo_latents, points, safe_idx, x)
+        w, norm = rbf_weights(u3[..., d:], valid, rbf)
+        u = u3.reshape(m * k, -1)
         if need_grad:
             from spurfies_tpu.ops.pallas_mlp import (
                 pair_sdf_value_and_input_grad,
@@ -171,6 +228,10 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf,
             s = pair_sdf_value(frozen, u, FUSED_MLP_DTYPE)
         s = s.reshape(m, k)
     else:
+        npos = points[safe_idx]                   # [M, K, 3]
+        gfeat = geo_latents[safe_idx]             # [M, K, 32]
+        x_pi = x[:, None, :] - npos
+        w, norm = rbf_weights(x_pi, valid, rbf)
         s = pair_sdf(frozen, gfeat, x_pi)         # [M, K]
     s = jnp.where(valid, s, 0.0)
     has = norm[..., 0] > 0
@@ -311,15 +372,14 @@ def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
 
     m, k = idx.shape
     safe_idx = jnp.maximum(idx, 0)
-    npos = points[safe_idx]
-    gfeat = gather_latents(geo_latents, safe_idx)
-    x_pi = x[:, None, :] - npos
-    w, norm = rbf_weights(x_pi, valid, rbf)
+    d = geo_latents.shape[1]
+    u3 = gather_pair_inputs(geo_latents, points, safe_idx, x)
+    w, norm = rbf_weights(u3[..., d:], valid, rbf)
 
-    u = jnp.concatenate([gfeat, x_pi], axis=-1).reshape(m * k, -1)
+    u = u3.reshape(m * k, -1)
     s, r = pair_sdf_value_and_input_grad(frozen, u, FUSED_MLP_DTYPE)
     s = jnp.where(valid, s.reshape(m, k), 0.0)
-    g = jax.lax.stop_gradient(r[:, 32:].reshape(m, k, 3))
+    g = jax.lax.stop_gradient(r[:, d:].reshape(m, k, 3))
     g = jnp.where(valid[..., None], g, 0.0)
 
     has = norm[..., 0] > 0
@@ -477,9 +537,10 @@ def aggregate_color(train_params, color_latents, points, idx, valid, x,
     Returns colors ``[M, 3]`` in [0, 1].
     """
     safe_idx = jnp.maximum(idx, 0)
-    npos = points[safe_idx]
-    cfeat = gather_latents(color_latents, safe_idx)  # [M, K, 64]
-    x_pi = x[:, None, :] - npos
+    d = color_latents.shape[1]
+    u3 = gather_pair_inputs(color_latents, points, safe_idx, x)
+    cfeat = u3[..., :d]                              # [M, K, 64]
+    x_pi = u3[..., d:]
     w, norm = rbf_weights(x_pi, valid, rbf)
 
     # NEGATIVE RESULT (round 2): the fused color kernel (ops/pallas_color)
