@@ -133,33 +133,30 @@ def _gather_rows_bwd(n_grad, res, ct):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def gather_pair_inputs(latents, points, safe_idx, x):
-    """Per-pair MLP input ``[latent | x - points[idx]]`` in one gather.
+def gather_pair_rows(latents, points, safe_idx):
+    """One combined-row gather of per-pair inputs: ``g = [latent | pos]``.
 
     The reference assembles pair features with two CUDA gathers + a cat
     (pointneus_disent.py:300-315); the straight XLA translation (gather
     latents, gather npos, subtract, concatenate) materializes four
     ``[M*K, ·]`` HBM intermediates and measured ~3.4 ms of the 37 ms train
     step (trace r3).  Here the scene builds ONE combined ``[N, D+3]``
-    table (latent rows ‖ point positions); a single row gather plus one
-    elementwise ``where`` fusion assembles u in-register:
-
-        u = where(col < D, g, x_pad - g)      # last 3 cols: x - npos
+    table (latent rows ‖ point positions) and gathers raw rows; consumers
+    slice the latent columns and subtract positions from the query point
+    (``x_pi = x - g[..., D:]``) — slices fuse into the consumer, so no
+    second full-width pass materializes.  The fused Pallas SDF kernels
+    (ops/pallas_mlp pair_sdf_rows_*) take ``g`` directly and assemble
+    ``u = [latent | x - pos]`` in VMEM.
 
     Positions are static scene geometry (SceneState contract), so the
-    gather VJP scatters only the latent columns; the x_pi cotangent flows
-    to ``x`` through the where-expression, not the table.
+    gather VJP scatters only the latent columns.
 
-    Returns ``u [M, K, D+3]`` with ``u[..., D:] == x[:, None] - npos``
-    (bit-exact vs the separate-gather path).
+    Returns ``g [M, K, D+3]``.
     """
     d = latents.shape[1]
     table = jnp.concatenate(
         [latents, jax.lax.stop_gradient(points).astype(latents.dtype)], 1)
-    g = _gather_rows(table, safe_idx, d)                  # [M, K, D+3]
-    xpad = jnp.pad(x, ((0, 0), (d, 0)))
-    col = jnp.arange(d + 3, dtype=jnp.int32) < d
-    return jnp.where(col, g, xpad[:, None, :] - g)
+    return _gather_rows(table, safe_idx, d)               # [M, K, D+3]
 
 
 FUSED_MLP_MODE = "auto"   # "auto" (TPU only) | "on" (incl. interpret) | "off"
@@ -214,18 +211,17 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf,
     safe_idx = jnp.maximum(idx, 0)
     if _use_fused():
         m, k = idx.shape
-        d = geo_latents.shape[1]
-        u3 = gather_pair_inputs(geo_latents, points, safe_idx, x)
-        w, norm = rbf_weights(u3[..., d:], valid, rbf)
-        u = u3.reshape(m * k, -1)
+        g3 = gather_pair_rows(geo_latents, points, safe_idx)
+        g = g3.reshape(m * k, -1)
+        x_rows = jnp.broadcast_to(x[:, None, :], (m, k, 3)).reshape(-1, 3)
         if need_grad:
-            from spurfies_tpu.ops.pallas_mlp import (
-                pair_sdf_value_and_input_grad,
-            )
-            s, _ = pair_sdf_value_and_input_grad(frozen, u, FUSED_MLP_DTYPE)
+            from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_grad
+            s, _, xpi = pair_sdf_rows_grad(frozen, g, x_rows,
+                                           FUSED_MLP_DTYPE)
         else:
-            from spurfies_tpu.ops.pallas_mlp import pair_sdf_value
-            s = pair_sdf_value(frozen, u, FUSED_MLP_DTYPE)
+            from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_value
+            s, xpi = pair_sdf_rows_value(frozen, g, x_rows, FUSED_MLP_DTYPE)
+        w, norm = rbf_weights(xpi.reshape(m, k, 3), valid, rbf)
         s = s.reshape(m, k)
     else:
         npos = points[safe_idx]                   # [M, K, 3]
@@ -368,16 +364,16 @@ def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
     input gradient; d(agg)/dx = RBF-weighted sum of per-pair x_pi grads
     (the weights are constant w.r.t. x — distances are detached,
     reference :242)."""
-    from spurfies_tpu.ops.pallas_mlp import pair_sdf_value_and_input_grad
+    from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_grad
 
     m, k = idx.shape
     safe_idx = jnp.maximum(idx, 0)
     d = geo_latents.shape[1]
-    u3 = gather_pair_inputs(geo_latents, points, safe_idx, x)
-    w, norm = rbf_weights(u3[..., d:], valid, rbf)
-
-    u = u3.reshape(m * k, -1)
-    s, r = pair_sdf_value_and_input_grad(frozen, u, FUSED_MLP_DTYPE)
+    g3 = gather_pair_rows(geo_latents, points, safe_idx)
+    x_rows = jnp.broadcast_to(x[:, None, :], (m, k, 3)).reshape(-1, 3)
+    s, r, xpi = pair_sdf_rows_grad(frozen, g3.reshape(m * k, -1), x_rows,
+                                   FUSED_MLP_DTYPE)
+    w, norm = rbf_weights(xpi.reshape(m, k, 3), valid, rbf)
     s = jnp.where(valid, s.reshape(m, k), 0.0)
     g = jax.lax.stop_gradient(r[:, d:].reshape(m, k, 3))
     g = jnp.where(valid[..., None], g, 0.0)
@@ -538,9 +534,9 @@ def aggregate_color(train_params, color_latents, points, idx, valid, x,
     """
     safe_idx = jnp.maximum(idx, 0)
     d = color_latents.shape[1]
-    u3 = gather_pair_inputs(color_latents, points, safe_idx, x)
-    cfeat = u3[..., :d]                              # [M, K, 64]
-    x_pi = u3[..., d:]
+    g3 = gather_pair_rows(color_latents, points, safe_idx)
+    cfeat = g3[..., :d]                              # [M, K, 64]
+    x_pi = x[:, None, :] - g3[..., d:]
     w, norm = rbf_weights(x_pi, valid, rbf)
 
     # NEGATIVE RESULT (round 2): the fused color kernel (ops/pallas_color)

@@ -53,19 +53,30 @@ def sample_pdf(key, bins: jnp.ndarray, pdf: jnp.ndarray, n: int,
     else:
         u = jax.random.uniform(key, (r, n))
 
-    # searchsorted(cdf, u, side="right") == count of cdf values <= u.
-    # A vmapped binary search measured 7.9 ms at train shapes and 157 ms
-    # at eval shapes on TPU (gather-heavy lowering); the comparison-count
-    # reduce fuses on the VPU and is ~free.
-    inds = jnp.sum(
-        (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
-    )
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, -1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, -1)
-    bins_g0 = jnp.take_along_axis(bins, below, -1)
-    bins_g1 = jnp.take_along_axis(bins, above, -1)
+    # searchsorted(cdf, u, side="right") == count of cdf values <= u; the
+    # bracketing values are then masked REDUCES over the same [R, Z, U]
+    # compare mask, not gathers.  A vmapped binary search measured 7.9 ms
+    # at train shapes and 157 ms at eval shapes on TPU (gather-heavy
+    # lowering); an index-recovery variant (comparison count + 4
+    # take_along_axis) still cost 2.2 ms of the 33.6 ms train step (trace
+    # r3) in the take lowering.  Both cdf and bins are ascending, so
+    # value[last z with cdf<=u] == max(masked values) and
+    # value[first z with cdf>u] == min over the complement — exact, and
+    # the whole thing is one fused VPU sweep.
+    mask = cdf[:, :, None] <= u[:, None, :]                  # [R, Z, U]
+    cdf_b = jnp.broadcast_to(cdf[:, :, None], mask.shape)
+    bins_b = jnp.broadcast_to(bins[:, :, None], mask.shape)
+    ninf = -jnp.inf
+    cdf_g0 = jnp.max(jnp.where(mask, cdf_b, ninf), axis=1)
+    bins_g0 = jnp.max(jnp.where(mask, bins_b, ninf), axis=1)
+    cdf_g1 = jnp.min(jnp.where(mask, jnp.inf, cdf_b), axis=1)
+    bins_g1 = jnp.min(jnp.where(mask, jnp.inf, bins_b), axis=1)
+    # cdf[0] == 0 <= u, so the g0 mask is never empty; the complement is
+    # empty iff u >= cdf[-1] (deterministic u == 1.0) — reference clamps
+    # the index there (above = min(inds, Z-1)), i.e. the last column.
+    hi_empty = ~jnp.isfinite(cdf_g1)
+    cdf_g1 = jnp.where(hi_empty, cdf[:, -1:], cdf_g1)
+    bins_g1 = jnp.where(hi_empty, bins[:, -1:], bins_g1)
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_g0) / denom

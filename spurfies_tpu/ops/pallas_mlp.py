@@ -192,6 +192,192 @@ def _fused_value_call(u, ws, bs, tile=1024, compute_dtype=jnp.bfloat16,
     return s[:m, 0]
 
 
+def _mlp_kernel_gx(*refs, compute_dtype, n_layers, n_act, d):
+    """Gather-row variant of :func:`_mlp_kernel`.
+
+    Inputs are the RAW gathered table rows ``g = [latent | point_pos]``
+    plus per-row query positions ``x``; the pair feature
+    ``u = [latent | x - pos]`` is assembled IN VMEM (f32 subtract, then
+    the compute-dtype cast — bit-identical to the XLA assembly), which
+    removes the [M*K, D+3] where-pass + HBM round trip the XLA assembly
+    costs (measured 2.2 ms of the 33.6 ms train step, trace r3).  The
+    first-layer matmul splits into latent and x_pi parts host-side
+    (u @ W0 == g_lat @ W0_lat + x_pi @ W0_pos).  x_pi is also emitted so
+    the caller's RBF weights read a [M*K, 3] array instead of re-slicing
+    the gather output.
+    """
+    g_ref, x_ref = refs[0], refs[1]
+    w_lat, w_pos = refs[2], refs[3]
+    ws = refs[4:3 + n_layers]            # layers 1..n_layers-1
+    wts = refs[3 + n_layers:3 + 2 * n_layers]
+    bs = refs[3 + 2 * n_layers:3 + 3 * n_layers]
+    out_s_ref, out_r_ref, out_xpi_ref = refs[-3], refs[-2], refs[-1]
+
+    acc_t = jnp.float32
+    g = g_ref[...]                                     # [T, d+3] f32
+    xpi = x_ref[...] - g[:, d:]                        # [T, 3] f32
+    out_xpi_ref[...] = xpi
+
+    a = (
+        jnp.dot(g[:, :d].astype(compute_dtype),
+                w_lat[...].astype(compute_dtype),
+                preferred_element_type=acc_t)
+        + jnp.dot(xpi.astype(compute_dtype),
+                  w_pos[...].astype(compute_dtype),
+                  preferred_element_type=acc_t)
+        + bs[0][...].astype(acc_t)
+    )
+    x = jnp.maximum(a, LEAKY_SLOPE * a)
+    gates = [jnp.where(a > 0, 1.0, LEAKY_SLOPE).astype(compute_dtype)]
+    x = x.astype(compute_dtype)
+    for i in range(1, n_layers):
+        w = ws[i - 1][...].astype(compute_dtype)
+        b = bs[i][...].astype(acc_t)
+        a = jnp.dot(x, w, preferred_element_type=acc_t) + b
+        if i < n_act:
+            x = jnp.maximum(a, LEAKY_SLOPE * a)
+            gates.append(
+                jnp.where(a > 0, 1.0, LEAKY_SLOPE).astype(compute_dtype)
+            )
+            x = x.astype(compute_dtype)
+        else:
+            x = a.astype(compute_dtype)
+    out_s_ref[...] = x[:, :1].astype(jnp.float32)
+
+    t = g_ref.shape[0]
+    delta = jnp.broadcast_to(
+        wts[n_layers - 1][...].astype(compute_dtype), (t, HID)
+    )
+    for i in range(n_act - 1, -1, -1):
+        delta = delta * gates[i]
+        wt = wts[i][...].astype(compute_dtype)
+        delta = jnp.dot(delta, wt, preferred_element_type=acc_t).astype(
+            compute_dtype
+        )
+    out_r_ref[...] = delta.astype(jnp.float32)
+
+
+def _value_kernel_gx(*refs, compute_dtype, n_layers, n_act, d):
+    g_ref, x_ref = refs[0], refs[1]
+    w_lat, w_pos = refs[2], refs[3]
+    ws = refs[4:3 + n_layers]
+    bs = refs[3 + n_layers:3 + 2 * n_layers]
+    out_s_ref, out_xpi_ref = refs[-2], refs[-1]
+
+    acc_t = jnp.float32
+    g = g_ref[...]
+    xpi = x_ref[...] - g[:, d:]
+    out_xpi_ref[...] = xpi
+    a = (
+        jnp.dot(g[:, :d].astype(compute_dtype),
+                w_lat[...].astype(compute_dtype),
+                preferred_element_type=acc_t)
+        + jnp.dot(xpi.astype(compute_dtype),
+                  w_pos[...].astype(compute_dtype),
+                  preferred_element_type=acc_t)
+        + bs[0][...].astype(acc_t)
+    )
+    x = jnp.maximum(a, LEAKY_SLOPE * a).astype(compute_dtype)
+    for i in range(1, n_layers):
+        w = ws[i - 1][...].astype(compute_dtype)
+        b = bs[i][...].astype(acc_t)
+        a = jnp.dot(x, w, preferred_element_type=acc_t) + b
+        if i < n_act:
+            x = jnp.maximum(a, LEAKY_SLOPE * a).astype(compute_dtype)
+        else:
+            x = a.astype(compute_dtype)
+    out_s_ref[...] = x[:, :1].astype(jnp.float32)
+
+
+def _wb_specs(arrs):
+    return [
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in arrs
+    ]
+
+
+@partial(jax.jit,
+         static_argnames=("tile", "compute_dtype", "interpret", "n_act"))
+def _fused_mlp_gx_call(g, x, ws, bs, tile=1024,
+                       compute_dtype=jnp.bfloat16, interpret=False,
+                       n_act=4):
+    m, dim = g.shape
+    d = dim - 3
+    n_layers = len(ws)
+    pad = (-m) % tile
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = m + pad
+    w_lat, w_pos = ws[0][:d], ws[0][d:]
+    wts = tuple(w.T for w in ws)
+
+    row = lambda i: (i, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((tile, dim), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 3), row, memory_space=pltpu.VMEM),
+    ] + _wb_specs([w_lat, w_pos] + list(ws[1:]) + list(wts) + list(bs))
+
+    s, r, xpi = pl.pallas_call(
+        partial(_mlp_kernel_gx, compute_dtype=compute_dtype,
+                n_layers=n_layers, n_act=n_act, d=d),
+        grid=(mp // tile,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, dim), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, x, w_lat, w_pos, *ws[1:], *wts, *bs)
+    return s[:m, 0], r[:m], xpi[:m]
+
+
+@partial(jax.jit,
+         static_argnames=("tile", "compute_dtype", "interpret", "n_act"))
+def _fused_value_gx_call(g, x, ws, bs, tile=1024,
+                         compute_dtype=jnp.bfloat16, interpret=False,
+                         n_act=4):
+    m, dim = g.shape
+    d = dim - 3
+    n_layers = len(ws)
+    pad = (-m) % tile
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = m + pad
+    w_lat, w_pos = ws[0][:d], ws[0][d:]
+
+    row = lambda i: (i, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((tile, dim), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 3), row, memory_space=pltpu.VMEM),
+    ] + _wb_specs([w_lat, w_pos] + list(ws[1:]) + list(bs))
+
+    s, xpi = pl.pallas_call(
+        partial(_value_kernel_gx, compute_dtype=compute_dtype,
+                n_layers=n_layers, n_act=n_act, d=d),
+        grid=(mp // tile,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, x, w_lat, w_pos, *ws[1:], *bs)
+    return s[:m, 0], xpi[:m]
+
+
 # Grid tiles (rows per kernel invocation), tuned per kernel on TPU v5e
 # (scripts/sweep_tile.py). Re-swept after the bf16 host-side weight prep
 # landed: both kernels now peak at 1024 rows (grad@655k 11.36 ms at 1024
@@ -293,3 +479,55 @@ def _vjp_bwd(compute_dtype, res, cot):
 
 
 pair_sdf_value_and_input_grad.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pair_sdf_rows_value(frozen, g, x, compute_dtype=jnp.bfloat16):
+    """Value-only fused MLP on RAW gathered rows ``g = [latent | pos]``
+    and query positions ``x`` ([M, 3] row-expanded); the pair feature
+    ``[latent | x - pos]`` assembles in VMEM.  Probe paths only (not
+    differentiable — callers sit under stop_gradient).
+
+    Returns (s [M], x_pi [M, 3])."""
+    ws, bs, n_act = _prep_layers(frozen, compute_dtype)
+    tile = min(VALUE_TILE, max(256, 1 << (g.shape[0] - 1).bit_length()))
+    return _fused_value_gx_call(g, x, ws, bs, compute_dtype=compute_dtype,
+                                tile=tile, n_act=n_act, **_kernel_kwargs(g))
+
+
+def _gx_impl(frozen, g, x, compute_dtype):
+    ws, bs, n_act = _prep_layers(frozen, compute_dtype)
+    tile = min(GRAD_TILE, max(256, 1 << (g.shape[0] - 1).bit_length()))
+    return _fused_mlp_gx_call(g, x, ws, bs, compute_dtype=compute_dtype,
+                              tile=tile, n_act=n_act, **_kernel_kwargs(g))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pair_sdf_rows_grad(frozen, g, x, compute_dtype=jnp.bfloat16):
+    """(s [M], r [M, D+3], x_pi [M, 3]) from raw gathered rows.
+
+    ``r`` is the input gradient w.r.t. the assembled pair feature
+    ``u = [latent | x - pos]`` (same as pair_sdf_value_and_input_grad).
+    Differentiable: with u_lat = g_lat and u_pos = x - g_pos, the VJP
+    routes s_bar * r_lat to the latent columns of ``g``, and ±s_bar *
+    r_pos to g_pos / x (plus the linear x_pi-output pullback); the r
+    pullback is 0 a.e. (piecewise-linear — module docstring)."""
+    return _gx_impl(frozen, g, x, compute_dtype)
+
+
+def _gx_vjp_fwd(frozen, g, x, compute_dtype):
+    s, r, xpi = _gx_impl(frozen, g, x, compute_dtype)
+    return (s, r, xpi), (frozen, r)
+
+
+def _gx_vjp_bwd(compute_dtype, res, cot):
+    frozen, r = res
+    s_bar, _r_bar, xpi_bar = cot
+    d = r.shape[1] - 3
+    sr = s_bar[:, None] * r
+    g_bar = jnp.concatenate([sr[:, :d], -sr[:, d:] - xpi_bar], axis=1)
+    x_bar = sr[:, d:] + xpi_bar
+    zero_frozen = jax.tree_util.tree_map(jnp.zeros_like, frozen)
+    return zero_frozen, g_bar, x_bar
+
+
+pair_sdf_rows_grad.defvjp(_gx_vjp_fwd, _gx_vjp_bwd)

@@ -270,12 +270,23 @@ def build_occupancy_bitmap(points: jnp.ndarray, spec: VoxelGridSpec,
 
 def fine_occupancy(x: jnp.ndarray, occ_fine: jnp.ndarray,
                    spec: VoxelGridSpec) -> jnp.ndarray:
-    """Per-position occupancy test against the fine bitmap (one int gather
-    per position).  False guarantees query_grid finds no neighbor there."""
+    """Per-position occupancy test against the fine bitmap.
+
+    False guarantees query_grid finds no neighbor there.  The lookup is a
+    128-cell ROW gather + compare-iota lane select, not a scalar gather:
+    XLA's one-element-per-row gather is latency-bound (measured 2.0 ms for
+    131k bool lookups in a 0.5 MB table — scripts/micro_occ.py; element
+    width does not help), while row gathers move at full bandwidth
+    (1.5 ms incl. the select, and it fuses with the callers' masks)."""
     fs = fine_spec(spec)
     cid = _cell_ids(x, fs)
     in_grid = cid < fs.num_cells
-    return occ_fine[jnp.where(in_grid, cid, 0)] & in_grid
+    cid_s = jnp.where(in_grid, cid, 0)
+    pad = (-occ_fine.shape[0]) % 128
+    rows = jnp.pad(occ_fine.astype(jnp.int8), (0, pad)).reshape(-1, 128)
+    r = rows[cid_s >> 7]                                   # [M, 128]
+    hit = jnp.arange(128, dtype=cid.dtype)[None, :] == (cid_s & 127)[:, None]
+    return (jnp.sum(jnp.where(hit, r, 0), axis=1) != 0) & in_grid
 
 
 @partial(jax.jit, static_argnames=("spec", "k", "sort_queries"))

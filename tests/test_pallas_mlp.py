@@ -80,6 +80,63 @@ class TestKernelParity:
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
 
 
+class TestRowsKernelParity:
+    """The gx kernels take raw gathered rows [latent | pos] + query x and
+    assemble u = [latent | x - pos] in VMEM (pallas_mlp.pair_sdf_rows_*)."""
+
+    def _gx_inputs(self, u):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(0, 0.3, (u.shape[0], 3))
+                        .astype(np.float32))
+        pos = x - u[:, 32:]                   # so that x - pos == x_pi
+        g = jnp.concatenate([u[:, :32], pos], axis=1)
+        return g, x
+
+    def test_rows_value(self, frozen, u):
+        from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_value
+        g, x = self._gx_inputs(u)
+        s_k, xpi = pair_sdf_rows_value(frozen, g, x, jnp.float32)
+        np.testing.assert_allclose(np.asarray(xpi), np.asarray(u[:, 32:]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(_ref_s(
+            frozen, u)), rtol=1e-5, atol=1e-5)
+
+    def test_rows_grad(self, frozen, u):
+        from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_grad
+        g, x = self._gx_inputs(u)
+        s_k, r_k, xpi = pair_sdf_rows_grad(frozen, g, x, jnp.float32)
+        np.testing.assert_allclose(np.asarray(xpi), np.asarray(u[:, 32:]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(_ref_s(
+            frozen, u)), rtol=1e-5, atol=1e-5)
+        r_ref = jax.vmap(jax.grad(lambda uu: _ref_s(frozen, uu[None])[0]))(u)
+        np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_rows_vjp_matches_autodiff(self, frozen, u):
+        """g/x cotangents of the rows kernel == autodiff through the
+        reference assembly u = [g_lat | x - g_pos]."""
+        from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_grad
+        g, x = self._gx_inputs(u)
+        c = jnp.asarray(np.random.default_rng(4).normal(size=(u.shape[0],))
+                        .astype(np.float32))
+
+        def loss_kernel(gg, xx):
+            s, _, _ = pair_sdf_rows_grad(frozen, gg, xx, jnp.float32)
+            return jnp.sum(s * c)
+
+        def loss_ref(gg, xx):
+            uu = jnp.concatenate([gg[:, :32], xx - gg[:, 32:]], axis=1)
+            return jnp.sum(_ref_s(frozen, uu) * c)
+
+        gk_g, gk_x = jax.grad(loss_kernel, argnums=(0, 1))(g, x)
+        gr_g, gr_x = jax.grad(loss_ref, argnums=(0, 1))(g, x)
+        np.testing.assert_allclose(np.asarray(gk_g), np.asarray(gr_g),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gk_x), np.asarray(gr_x),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestFusedFieldPath:
     def test_sdf_and_grad_fused_matches_dense(self):
         from spurfies_tpu.model.neural_points import build_scene
