@@ -37,7 +37,7 @@ class SceneState:
     table: QueryTable            # precomputed per-cell candidate lists
     tv_idx: jnp.ndarray          # [N, k] TV-graph neighbor indices
     tv_valid: jnp.ndarray        # [N, k] bool
-    occ_fine: jnp.ndarray = None  # [F] bool fine occupancy bitmap
+    occ_fine: jnp.ndarray = None  # [rows,128] int8 fine occupancy bitmap
     spec: VoxelGridSpec = None
 
     def tree_flatten(self):

@@ -79,14 +79,22 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
         budget = min(n_rays, max(128, budget))
         if budget < n_rays:  # full-width compaction is pure overhead
             ray_occ = _coarse_ray_occupancy(cam_loc, ray_dirs, scene, scfg)
-            slot, ok, _ = field.compact_pair_slots(ray_occ, budget)
+            slot, ok, overflowed = field.compact_pair_slots(ray_occ, budget)
             out = _render_body(params, scene, cam_loc[slot],
                                ray_dirs[slot], depth_scale[slot], skey,
                                cfg, train=train, iters=iters)
-            return _scatter_rays_back(out, slot, ok, n_rays, scfg.far)
+            dense = _scatter_rays_back(out, slot, ok, n_rays, scfg.far)
+            # telemetry: True when occupied rays were dropped from this
+            # batch because the calibrated budget was too small — a
+            # mis-calibrated scene shows up in the step metrics instead
+            # of silently losing rays (VERDICT r3 weak #7)
+            dense["ray_budget_overflow"] = overflowed
+            return dense
 
-    return _render_body(params, scene, cam_loc, ray_dirs, depth_scale,
-                        skey, cfg, train=train, iters=iters)
+    out = _render_body(params, scene, cam_loc, ray_dirs, depth_scale,
+                       skey, cfg, train=train, iters=iters)
+    out["ray_budget_overflow"] = jnp.asarray(False)
+    return out
 
 
 def _coarse_ray_occupancy(cam_loc, ray_dirs, scene, scfg):

@@ -41,7 +41,12 @@ def sample_pdf(key, bins: jnp.ndarray, pdf: jnp.ndarray, n: int,
                deterministic: bool):
     """Inverse-CDF sampling (reference ray_sampler.py:505-529).
 
-    bins: ``[R, Z]``; pdf: ``[R, Z-1]`` (need not be normalized).
+    bins: ``[R, Z]``, MUST be non-decreasing along Z (all callers pass
+    sorted z_vals); pdf: ``[R, Z-1]`` (need not be normalized).  The
+    masked-reduce bracketing below recovers value[searchsorted index] as a
+    max/min over the compare mask, which is exact only while both cdf and
+    bins are non-decreasing — unsorted bins would yield silently wrong
+    samples (the old take_along_axis version only required valid indices).
     """
     r = bins.shape[0]
     pdf = pdf / jnp.sum(pdf, -1, keepdims=True)

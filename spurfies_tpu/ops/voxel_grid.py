@@ -230,8 +230,9 @@ def fine_spec(spec: VoxelGridSpec) -> VoxelGridSpec:
 @partial(jax.jit, static_argnames=("spec", "r"))
 def build_occupancy_bitmap(points: jnp.ndarray, spec: VoxelGridSpec,
                            r: float = 2.0) -> jnp.ndarray:
-    """``[F]`` bool: fine cell has a point within ``r * voxel_size`` of its
-    BOX — the exact cell-granular superset of "a query in this cell can
+    """``[rows, 128]`` int8 (cell ``c`` -> ``[c >> 7, c & 127]``, zero-padded
+    past ``num_cells``): fine cell has a point within ``r * voxel_size`` of
+    its BOX — the exact cell-granular superset of "a query in this cell can
     have a neighbor".
 
     The coarse query-table test (candidate list of the 0.075-edge cell
@@ -240,7 +241,9 @@ def build_occupancy_bitmap(points: jnp.ndarray, spec: VoxelGridSpec,
     slack drops to ~0.09 — measured worst-view ray occupancy on the bench
     scenes falls 0.94 -> ~0.8, which is what makes the ray/probe
     compaction budgets bite.  One-time build per scene (points never
-    move); ~0.5 MB at +-1 bounds.
+    move); ~0.5 MB at +-1 bounds.  The padded row layout is what
+    :func:`fine_occupancy`'s hot-path gather reads, so it is materialized
+    HERE once instead of per call (host consumers flatten it back).
     """
     fs = fine_spec(spec)
     radius = spec.radius(r)
@@ -264,13 +267,16 @@ def build_occupancy_bitmap(points: jnp.ndarray, spec: VoxelGridSpec,
     d2 = jnp.sum(excess * excess, axis=-1)
     ok = in_r & (d2 <= radius * radius)
     lin = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
-    occ = jnp.zeros((fs.num_cells,), dtype=bool)
-    return occ.at[jnp.where(ok, lin, fs.num_cells)].set(True, mode="drop")
+    occ = jnp.zeros((fs.num_cells,), dtype=jnp.int8)
+    occ = occ.at[jnp.where(ok, lin, fs.num_cells)].set(1, mode="drop")
+    pad = (-fs.num_cells) % 128
+    return jnp.pad(occ, (0, pad)).reshape(-1, 128)
 
 
 def fine_occupancy(x: jnp.ndarray, occ_fine: jnp.ndarray,
                    spec: VoxelGridSpec) -> jnp.ndarray:
-    """Per-position occupancy test against the fine bitmap.
+    """Per-position occupancy test against the fine bitmap rows
+    (``[rows, 128]`` int8 from :func:`build_occupancy_bitmap`).
 
     False guarantees query_grid finds no neighbor there.  The lookup is a
     128-cell ROW gather + compare-iota lane select, not a scalar gather:
@@ -282,9 +288,7 @@ def fine_occupancy(x: jnp.ndarray, occ_fine: jnp.ndarray,
     cid = _cell_ids(x, fs)
     in_grid = cid < fs.num_cells
     cid_s = jnp.where(in_grid, cid, 0)
-    pad = (-occ_fine.shape[0]) % 128
-    rows = jnp.pad(occ_fine.astype(jnp.int8), (0, pad)).reshape(-1, 128)
-    r = rows[cid_s >> 7]                                   # [M, 128]
+    r = occ_fine[cid_s >> 7]                               # [M, 128]
     hit = jnp.arange(128, dtype=cid.dtype)[None, :] == (cid_s & 127)[:, None]
     return (jnp.sum(jnp.where(hit, r, 0), axis=1) != 0) & in_grid
 
