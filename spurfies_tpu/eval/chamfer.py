@@ -17,38 +17,64 @@ import numpy as np
 
 def sample_triangles(verts: np.ndarray, faces: np.ndarray,
                      density: float = 0.2, seed: int = 0):
-    """Sample points on triangles at ~density spacing (reference
-    sample_single_tri, eval_dtu.py:20-33 semantics).
+    """Exact vectorized port of the reference per-face barycentric-grid
+    sampler (eval_dtu.py:15-25 sample_single_tri + :79-109 driver).
 
-    Fully vectorized: per-face counts matching the reference's barycentric
-    grid (~k1*k2/2 points/face), drawn as uniform random barycentric
-    samples instead of a Python per-face grid loop (the reference used a
-    multiprocessing pool; a 512-res mesh has ~1M faces).  The downstream
-    radius dedup (itself shuffle-randomized, eval_dtu.py:119-121) makes the
-    two schemes statistically equivalent at the protocol's 0.2 spacing.
+    Per-face grid spacing ``thr = density*sqrt(l1*l2/area2)`` gives a
+    uniform ~1/density^2 AREA density regardless of triangle skew; grid
+    offsets ``(i+0.5)/n1, (j+0.5)/n2`` kept where their sum < 1 (the
+    lower-triangle half).  Zero-area faces are dropped; faces smaller than
+    one grid step contribute no interior samples (n=0 makes the 0.5/1e-7
+    offset fall outside), exactly like the reference.  The reference runs
+    this as a Python loop over a multiprocessing pool (a 512-res mesh has
+    ~1M faces); here it is flat numpy, processed in ~8M-raw-point face
+    blocks to bound memory.  ``seed`` is accepted for API compatibility —
+    the scheme is deterministic.
     """
-    v0 = verts[faces[:, 0]]
-    v1 = verts[faces[:, 1]]
-    v2 = verts[faces[:, 2]]
-    e1, e2 = v1 - v0, v2 - v0
-    n1 = np.linalg.norm(e1, axis=-1)
-    n2 = np.linalg.norm(e2, axis=-1)
-    k1 = np.ceil(n1 / density) + 1
-    k2 = np.ceil(n2 / density) + 1
-    counts = np.ceil(k1 * k2 / 2).astype(np.int64)
-    counts[k1 * k2 > 4_000_000] = 0         # degenerate guard (reference)
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    if len(faces) == 0:
+        return verts.copy()
+    tri = verts[faces]
+    v1 = tri[:, 1] - tri[:, 0]
+    v2 = tri[:, 2] - tri[:, 0]
+    l1 = np.linalg.norm(v1, axis=-1)
+    l2 = np.linalg.norm(v2, axis=-1)
+    area2 = np.linalg.norm(np.cross(v1, v2), axis=-1)
+    nz = area2 > 0
+    v1, v2, l1, l2, area2 = v1[nz], v2[nz], l1[nz], l2[nz], area2[nz]
+    base = tri[nz][:, 0]
+    thr = density * np.sqrt(l1 * l2 / area2)
+    n1 = np.floor(l1 / thr)
+    n2 = np.floor(l2 / thr)
+    sizes = ((n1 + 1) * (n2 + 1)).astype(np.int64)
+    csum = np.cumsum(sizes)
 
-    total = int(counts.sum())
-    face_id = np.repeat(np.arange(len(faces)), counts)
-    rng = np.random.default_rng(seed)
-    u = rng.random(total)
-    w = rng.random(total)
-    flip = u + w > 1.0                       # fold to the lower triangle
-    u = np.where(flip, 1.0 - u, u)
-    w = np.where(flip, 1.0 - w, w)
-    pts = (v0[face_id] + u[:, None] * e1[face_id]
-           + w[:, None] * e2[face_id])
-    return np.concatenate([verts, pts], axis=0)
+    out = [verts]
+    block_budget = 8_000_000
+    start = 0
+    while start < len(sizes):
+        before = int(csum[start - 1]) if start else 0
+        end = int(np.searchsorted(csum, before + block_budget)) + 1
+        end = max(start + 1, min(end, len(sizes)))
+        sz = sizes[start:end]
+        total = int(sz.sum())
+        fid = np.repeat(np.arange(start, end), sz)
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            csum[start:end] - sz - before, sz
+        )
+        w2 = (n2[fid] + 1).astype(np.int64)
+        i = local // w2
+        j = local - i * w2
+        c0 = (i + 0.5) / np.maximum(n1[fid], 1e-7)
+        c1 = (j + 0.5) / np.maximum(n2[fid], 1e-7)
+        keep = c0 + c1 < 1.0
+        fid, c0, c1 = fid[keep], c0[keep], c1[keep]
+        out.append(
+            base[fid] + c0[:, None] * v1[fid] + c1[:, None] * v2[fid]
+        )
+        start = end
+    return np.concatenate(out, axis=0)
 
 
 def radius_downsample(pts: np.ndarray, radius: float = 0.2,

@@ -123,7 +123,9 @@ class TestChamfer:
         v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float64)
         f = np.asarray([[0, 1, 2]])
         s = sample_triangles(v, f, density=0.1)
-        assert len(s) > 50
+        # unit right triangle at density 0.1: thr=0.1, n1=n2=10, grid
+        # points with (i+.5)/10+(j+.5)/10 < 1 -> 45, plus the 3 verts
+        assert len(s) == 48
         # all samples in the triangle plane
         np.testing.assert_allclose(s[:, 2], 0.0, atol=1e-12)
 
