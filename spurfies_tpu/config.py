@@ -249,11 +249,15 @@ class TrainConfig:
     #                                   path, train.py:522). Small values
     #                                   trade render quality for speed and
     #                                   keep dryrun/CI compiles cheap.
-    render_chunk: int = 16384         # max rays per jitted eval-render call;
+    render_chunk: int = 4096          # max rays per jitted eval-render call;
     #                                   actual chunk adapts down to the image
     #                                   size (padding a 576-ray image to 16k
     #                                   cost 28x compute + a huge sharded
-    #                                   compile — round-2 dryrun timeout)
+    #                                   compile — round-2 dryrun timeout).
+    #                                   16384 at the full 5-iter sampler
+    #                                   FAILS to compile on a 16G v5e chip
+    #                                   (25.07G HBM estimate, measured r4);
+    #                                   4096 compiles and validated e2e.
     render_skip_empty: bool = True    # eval renders: skip whole chunks
     #                                   whose rays all miss the fine
     #                                   occupancy bitmap (host-side numpy

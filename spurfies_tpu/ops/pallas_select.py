@@ -3,40 +3,48 @@
 The XLA query path (ops/voxel_grid.query_grid) spends most of its time in
 ``jax.lax.top_k`` over the ``[M, qcap]`` distance matrix — a full bitonic
 sort per row with HBM-materialized intermediates.  This kernel computes
-distances and an iterative 8-extraction entirely in VMEM, writing only the
+distances and an iterative k-extraction entirely in VMEM, writing only the
 ``[M, k]`` results.
 
-Selection trick (no cross-lane gather needed): per extraction round, the
-minimum distance is broadcast-compared against the row; the winning lane's
-candidate index is recovered with a masked max-reduce, then masked to inf
-for subsequent rounds.
+TRANSPOSED layout (r4): candidates live on SUBLANES, queries on LANES —
+arrays are ``[Q, T]`` per tile.  The per-round min reduction then combines
+Q/8 stacked vregs with full-width vector mins instead of log2(Q) cross-lane
+shuffles per vreg, and the per-round result writes are contiguous rows
+``out[j, :]`` instead of strided single-lane columns.  Measured on the
+r4 bench shape ([66560, 64] candidates): 4.0 ms (row-major extraction,
+r3 kernel) -> 1.0 ms including the XLA input transposes, which fuse into
+the candidate-gather epilogue in the full step.
 
-Status: numerically exact vs the XLA path (tests/test_pallas_select.py) but
-NOT yet faster end-to-end — the candidate row gather still roundtrips HBM
-before the kernel reads it.  The planned follow-up moves the gather inside
-the kernel via PrefetchScalarGridSpec (cell ids as scalar-prefetch feeding
-per-tile DMAs of table rows), eliminating the [M, 3, Q] HBM intermediate.
-Until then query_grid's XLA path remains the default.
+Selection tricks per round (unchanged from r3):
+  * exact kernel: min-reduce the distances, recover the winning candidate
+    id with a masked max-reduce, mask it to the sentinel for later rounds;
+  * packed kernel: candidate id in the low 15 mantissa bits of the
+    (bitcast) d2 key — one reduce yields BOTH distance and id.
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _select_kernel(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref, *,
-                   k: int, radius2: float):
-    x = x_ref[...]            # [T, 3]
-    pos = pos_ref[...]        # [T, 3, Q]
-    cand = idx_ref[...]       # [T, Q]
+def _select_kernel_t(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref, *,
+                     k: int, radius2: float):
+    """Exact two-reduce extraction, transposed ``[Q, T]`` blocks.
+
+    ``pos_ref`` is ``[3 * Q, T]`` (the three coordinate planes stacked on
+    sublanes); ``x_ref`` is ``[3, T]``.
+    """
+    cand = idx_ref[...]                           # [Q, T]
+    q = cand.shape[0]
+    pos = pos_ref[...]
+    x = x_ref[...]
 
     d2 = jnp.zeros(cand.shape, dtype=jnp.float32)
     for d in range(3):
-        diff = pos[:, d, :] - x[:, d][:, None]
+        diff = pos[d * q:(d + 1) * q, :] - x[d, :][None, :]
         d2 = d2 + diff * diff
 
     ok = (cand >= 0) & (d2 <= radius2)
@@ -44,13 +52,13 @@ def _select_kernel(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref, *,
 
     neg_one = jnp.full_like(cand, -1)
     for j in range(k):
-        m = jnp.min(d2, axis=-1, keepdims=True)          # [T, 1]
-        hit = d2 == m                                     # [T, Q]
-        picked = jnp.max(jnp.where(hit, cand, neg_one), axis=-1)
-        out_idx_ref[:, j] = jnp.where(jnp.isfinite(m[:, 0]), picked, -1)
-        out_d2_ref[:, j] = m[:, 0]
+        m = jnp.min(d2, axis=0)                   # over sublanes -> [T]
+        hit = d2 == m[None, :]                    # [Q, T]
+        picked = jnp.max(jnp.where(hit, cand, neg_one), axis=0)
+        out_idx_ref[j, :] = jnp.where(jnp.isfinite(m), picked, -1)
+        out_d2_ref[j, :] = m
         # mask only the picked lane (max-idx tie-break) for the next round
-        clear = hit & (cand == picked[:, None])
+        clear = hit & (cand == picked[None, :])
         d2 = jnp.where(clear, jnp.inf, d2)
 
 
@@ -58,14 +66,13 @@ _ID_BITS = 15                # packed candidate-id width (N <= 32768)
 _SENTINEL = 2 ** 30          # > any packed key (d2 < 2 via radius <= 1.4)
 
 
-def _select_kernel_packed(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref,
-                          *, k: int, radius2: float):
-    """Packed-key extraction: candidate id in the low 15 mantissa bits of
-    the (bitcast) d2 key.  Non-negative f32 bitcasts to int32
-    order-preserving, so a single min-reduce yields BOTH the winner's
-    distance and its id — no index-recovery max-reduce, and the clear
-    mask is an exact integer compare (ids are unique per row).  Each
-    round is 3 VPU passes instead of 6.
+def _select_kernel_packed_t(x_ref, pos_ref, idx_ref, out_idx_ref,
+                            out_d2_ref, *, k: int, radius2: float):
+    """Packed-key extraction (transposed): candidate id in the low 15
+    mantissa bits of the (bitcast) d2 key.  Non-negative f32 bitcasts to
+    int32 order-preserving, so a single min-reduce yields BOTH the
+    winner's distance and its id — no index-recovery max-reduce, and the
+    clear mask is an exact integer compare (ids are unique per row).
 
     Cost: the low 15 of 23 mantissa bits carry the id, so d2 is rounded
     to ~2^-8 relative — neighbor ORDER can swap only between candidates
@@ -74,13 +81,14 @@ def _select_kernel_packed(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref,
     point-cloud id fits 15 bits (N <= 32768; vox_res=300 scenes are
     ~6-30k points) — the exact kernel above serves the rest.
     """
-    x = x_ref[...]            # [T, 3]
-    pos = pos_ref[...]        # [T, 3, Q]
-    cand = idx_ref[...]       # [T, Q]
+    cand = idx_ref[...]                           # [Q, T]
+    q = cand.shape[0]
+    pos = pos_ref[...]
+    x = x_ref[...]
 
     d2 = jnp.zeros(cand.shape, dtype=jnp.float32)
     for d in range(3):
-        diff = pos[:, d, :] - x[:, d][:, None]
+        diff = pos[d * q:(d + 1) * q, :] - x[d, :][None, :]
         d2 = d2 + diff * diff
 
     ok = (cand >= 0) & (d2 <= radius2)
@@ -91,19 +99,30 @@ def _select_kernel_packed(x_ref, pos_ref, idx_ref, out_idx_ref, out_d2_ref,
     key = jnp.where(ok, key, sentinel)
 
     for j in range(k):
-        m = jnp.min(key, axis=-1)                        # [T]
+        m = jnp.min(key, axis=0)                  # over sublanes -> [T]
         valid = m < _SENTINEL
-        out_idx_ref[:, j] = jnp.where(valid, m & mask, -1)
+        out_idx_ref[j, :] = jnp.where(valid, m & mask, -1)
         d2_j = jax.lax.bitcast_convert_type(m & ~mask, jnp.float32)
-        out_d2_ref[:, j] = jnp.where(valid, d2_j, jnp.inf)
-        key = jnp.where(key == m[:, None], sentinel, key)
+        out_d2_ref[j, :] = jnp.where(valid, d2_j, jnp.inf)
+        key = jnp.where(key == m[None, :], sentinel, key)
+
+
+def _pick_tile(q: int, tile: int | None) -> int:
+    """Lane-tile width: the double-buffered input blocks are
+    ``(3q + q) * tile * 4 B * 2``; keep them ~8 MB so the kernel fits the
+    16 MB scoped-VMEM limit with outputs + slack (q=128 hit 20 MB at
+    tile=8192, compile error on v5e)."""
+    if tile is not None:
+        return tile
+    t = (262144 // max(q, 1)) // 512 * 512
+    return min(4096, max(512, t))
 
 
 @partial(jax.jit,
          static_argnames=("k", "radius2", "tile", "interpret", "packed"))
 def select_knn_pallas(x: jnp.ndarray, cand_idx: jnp.ndarray,
                       cand_pos: jnp.ndarray, k: int = 8,
-                      radius2: float = 0.0025, tile: int = 512,
+                      radius2: float = 0.0025, tile: int | None = None,
                       interpret: bool = False, packed: bool = False):
     """Fused distance + k-nearest selection.
 
@@ -115,9 +134,14 @@ def select_knn_pallas(x: jnp.ndarray, cand_idx: jnp.ndarray,
         to ~0.4% relative, near-tie neighbor order may swap).
 
     Returns (idx ``[M, k]`` int32 nearest-first, d2 ``[M, k]`` inf-invalid).
+
+    Internally transposed to ``[Q, M]`` (see module docstring); the input
+    transposes fuse into the caller's candidate-gather epilogue and the
+    ``[k, M]`` output transposes are tiny.
     """
     m = x.shape[0]
     q = cand_idx.shape[-1]
+    tile = _pick_tile(q, tile)
     pad = (-m) % tile
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -127,29 +151,28 @@ def select_knn_pallas(x: jnp.ndarray, cand_idx: jnp.ndarray,
                            constant_values=jnp.inf)
     mp = m + pad
 
-    grid = (mp // tile,)
-    kernel = _select_kernel_packed if packed else _select_kernel
+    x_t = x.T                                            # [3, M]
+    pos_t = jnp.transpose(cand_pos, (1, 2, 0)).reshape(3 * q, mp)
+    idx_t = cand_idx.T                                   # [Q, M]
+
+    col = lambda i: (0, i)  # noqa: E731
+    kernel = _select_kernel_packed_t if packed else _select_kernel_t
     out_idx, out_d2 = pl.pallas_call(
         partial(kernel, k=k, radius2=radius2),
-        grid=grid,
+        grid=(mp // tile,),
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 3, q), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, q), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * q, tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, tile), col, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), col, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, k), jnp.int32),
-            jax.ShapeDtypeStruct((mp, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, mp), jnp.int32),
+            jax.ShapeDtypeStruct((k, mp), jnp.float32),
         ],
         interpret=interpret,
-    )(x, cand_pos, cand_idx)
-    return out_idx[:m], out_d2[:m]
+    )(x_t, pos_t, idx_t)
+    return out_idx.T[:m], out_d2.T[:m]

@@ -339,8 +339,7 @@ def query_grid(x: jnp.ndarray, qt: QueryTable, spec: VoxelGridSpec,
         cand = jnp.where(in_grid[:, None], cand, -1)
         packed = 0 < qt.n_points <= 2 ** 15
         return select_knn_pallas(x, cand, cpos, k=k,
-                                 radius2=float(radius2), tile=1024,
-                                 packed=packed)
+                                 radius2=float(radius2), packed=packed)
 
     diff = x[:, :, None] - cpos                                # aligned tiles
     d2 = jnp.sum(diff * diff, axis=1)                          # [M, qcap]

@@ -449,12 +449,32 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(tree, NamedSharding(self.mesh, P()))
 
+    def _place_like_step_output(self, tree):
+        """Re-place restored arrays so they key the SAME jit executable as
+        train-window outputs (uncommitted; mesh-replicated under dp).
+
+        orbax restores COMMITTED arrays, and committed-ness is part of the
+        pjit executable cache key: feeding them straight into the train
+        window forced a full recompile of the step after every resume
+        (12 s tiny-CPU repro; +1200 s on the 8-device production dryrun,
+        r4).  Neither an identity jit nor an in-jit copy un-commits (jit
+        outputs inherit committed-ness from inputs), so the restored tree
+        takes a host roundtrip — restore-time only, a few MB."""
+        tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P())
+        return jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t),
+                       out_shardings=jax.tree_util.tree_map(
+                           lambda _: sh, tree))(tree)
+
     def load_frozen(self, frozen_params):
         """Install pretrained local-prior weights (reference train.py:124-143).
 
         frozen is a traced arg of the jitted step, so this does NOT
         recompile."""
-        self.frozen = self._replicate(
+        self.frozen = self._place_like_step_output(
             jax.tree_util.tree_map(jnp.asarray, frozen_params)
         )
 
@@ -518,7 +538,7 @@ class Trainer:
         opt_state = (restored["opt_state"] if has_opt
                      else self.tx.init(restored["params"]))
         self.frozen = restored["frozen"]
-        self.state = self._replicate(
+        self.state = self._place_like_step_output(
             TrainState(restored["params"], opt_state, restored["step"])
         )
         self.load_frozen(self.frozen)

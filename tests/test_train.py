@@ -63,6 +63,59 @@ class TestOptim:
         assert np.all(np.isfinite(np.asarray(upd["w"])))
         assert np.abs(np.asarray(upd["w"])).max() > 0
 
+    @pytest.mark.parametrize("bad_val", [np.nan, np.inf],
+                             ids=["nan", "inf"])
+    def test_guard_skips_whole_step(self, bad_val):
+        """A non-finite grad leaves the Adam moments and counts untouched
+        (reference on_after_backward skips the step, train.py:548-564)
+        and increments the skip telemetry counter."""
+        import jax.numpy as jnp
+        tx = build_optimizer(TINY.train)
+        params = {"feats_color": jnp.ones((4, 2)), "w": jnp.ones((2,))}
+        st = tx.init(params)
+        good = {"feats_color": jnp.full((4, 2), 0.5), "w": jnp.ones((2,))}
+        _, st = tx.update(good, st, params)   # advance moments once
+        bad = {"feats_color": jnp.full((4, 2), bad_val),
+               "w": jnp.ones((2,))}
+        upd, st2 = tx.update(bad, st, params)
+        for leaf in jax.tree_util.tree_leaves(upd):
+            np.testing.assert_allclose(np.asarray(leaf), 0.0)
+        for a, b in zip(jax.tree_util.tree_leaves(st.inner_state),
+                        jax.tree_util.tree_leaves(st2.inner_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(st2.notfinite_count) == 1
+        # and a following finite step proceeds + resets the counter
+        upd3, st3 = tx.update(good, st2, params)
+        assert np.abs(np.asarray(upd3["w"])).max() > 0
+        assert int(st3.notfinite_count) == 0
+
+    def test_guard_matches_optax_chain_on_finite_grads(self):
+        """finite_guarded_clip == chain(clip_by_global_norm,
+        apply_if_finite(adam)) on finite gradients, step for step."""
+        import jax.numpy as jnp
+        import optax
+        from spurfies_tpu.train.optim import finite_guarded_clip
+
+        adam_a = optax.adam(1e-3)
+        adam_b = optax.adam(1e-3)
+        ours = finite_guarded_clip(adam_a, 1.0)
+        ref = optax.apply_if_finite(
+            optax.chain(optax.clip_by_global_norm(1.0), adam_b), 100
+        )
+        params = {"w": jnp.ones((8,)), "b": jnp.zeros((3,))}
+        s_o, s_r = ours.init(params), ref.init(params)
+        rng = np.random.default_rng(3)
+        for i in range(5):
+            g = {"w": jnp.asarray(rng.normal(size=8) * (10 ** (i - 2)),
+                                  jnp.float32),
+                 "b": jnp.asarray(rng.normal(size=3), jnp.float32)}
+            u_o, s_o = ours.update(g, s_o, params)
+            u_r, s_r = ref.update(g, s_r, params)
+            for a, b in zip(jax.tree_util.tree_leaves(u_o),
+                            jax.tree_util.tree_leaves(u_r)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-9)
+
 
 @pytest.mark.slow
 def test_e2e_sphere_optimization():
@@ -173,6 +226,16 @@ def test_checkpoint_roundtrip(tmp_path):
     a = np.asarray(trainer.state.params["feats_color"])
     b = np.asarray(t2.state.params["feats_color"])
     np.testing.assert_allclose(a, b)
+
+    # restore must NOT force a train-window recompile: orbax arrays come
+    # back committed, which keys a fresh pjit executable unless re-placed
+    # (cost +1200 s on the 8-dev production dryrun before the fix).
+    # `trainer` already holds a compiled window from run(5); restoring
+    # into it and stepping must reuse that one executable.
+    assert trainer.train_window._cache_size() == 1
+    trainer.restore_checkpoint(path)
+    trainer.run(5, window=5)        # same static window as the first run
+    assert trainer.train_window._cache_size() == 1
 
     # restored optimizer state must carry the live Adam moments, not a
     # fresh init (count advanced past 0)
