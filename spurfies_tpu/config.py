@@ -143,6 +143,22 @@ class ModelConfig:
     #                                   preset=reference_exact restores
     #                                   the dense path. 8-dev CPU-mesh
     #                                   dryrun with it: 47 s (budget ok).
+    probe_budget_frac: float = -1.0   # TRAIN-ONLY budget for the sampler's
+    #                                   no-grad importance probe
+    #                                   (field.sdf_probe): fraction of the
+    #                                   R*n_samples_eval uniform probe
+    #                                   points allowed through the kNN +
+    #                                   frozen-MLP pipeline.  -1 = AUTO
+    #                                   (Trainer measures worst-view
+    #                                   per-ray sample occupancy over the
+    #                                   fine bitmap on the rays the ray
+    #                                   budget keeps, + 4-sigma margin);
+    #                                   >0 explicit; anything else =
+    #                                   legacy 0.25.  Eval probes (iters
+    #                                   >= 2 re-probe at importance z's,
+    #                                   whose occupancy is surface-
+    #                                   concentrated) always use the
+    #                                   gated 0.25.
     occ_compact: bool = False         # TRAIN-ONLY: compact ray samples by
     #                                   OCCUPANCY (one-int gather) BEFORE
     #                                   the kNN query, so only the S

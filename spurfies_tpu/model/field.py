@@ -254,7 +254,11 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
 
     m = x.shape[0]
 
-    if budget_frac is None or m < 1024:
+    budget = (max(int(m * budget_frac) // 128 * 128, 128)
+              if budget_frac is not None else m)
+    if budget_frac is None or m < 1024 or budget >= m:
+        # near-dense budgets (calibrated full-frame scenes) make the
+        # compaction pure overhead — run dense, masked
         idx, _ = query_grid(x, scene.table, scene.spec, k=k)
         valid = idx >= 0
         sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx,
@@ -264,8 +268,6 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     # fine-occupancy prefilter (exact cell-granular superset of having
     # neighbors within radius — ops.voxel_grid.build_occupancy_bitmap)
     occ = fine_occupancy(x, scene.occ_fine, scene.spec)
-
-    budget = max(int(m * budget_frac) // 128 * 128, 128)
     # first `budget` occupied positions via cumsum+scatter (O(m); a sort
     # here measured ~2ms at 131k probe points)
     sel, sel_ok, _ = compact_pair_slots(occ, budget)

@@ -163,11 +163,20 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
         z_all = uniform_z_vals(skey, n_rays, scfg.near, scfg.far,
                                scfg.n_samples, stratified=train)
     else:
+        # probe budget: the calibrated per-sample occupancy fraction
+        # applies to TRAIN probes only (iters=1 -> the one probe runs on
+        # the uniform z grid the calibration simulated); eval probes at
+        # iters>=2 re-probe importance z's (surface-concentrated) and
+        # keep the quality-gated legacy 0.25
+        pf = (cfg.probe_budget_frac
+              if train and 0 < cfg.probe_budget_frac <= 1 else 0.25)
+
         def sdf_probe_fn(x):
             return field.sdf_probe(
                 jax.lax.stop_gradient(frozen),
                 jax.lax.stop_gradient(tp["feats_geometry"]),
                 scene, x, cfg.probe_k or cfg.k, cfg.r, cfg.rbf,
+                budget_frac=pf,
                 need_grad=False,
             )
 

@@ -68,6 +68,13 @@ def scatter_add_rows(ct: jnp.ndarray, idx: jnp.ndarray, n: int,
     np_rows = -(-(n + 1) // 8) * 8
     banks = min(_MAX_BANKS, max(1, _ACC_BUDGET // (np_rows * d * 4)))
 
+    # NEGATIVE RESULT (r4, don't retry): splitting wide rows (d=64) into
+    # two d=32 scatters to regain banks (3 -> 6) wins standalone (2.14 ->
+    # ~1.25 ms micro) but LOSES in the train graph (24.51 vs 23.64
+    # ms/step) — the two column slices + concat materialize extra [M, 32]
+    # HBM traffic and the halves serialize against the graph's other VMEM
+    # -resident kernels.
+
     if banks < 1 or np_rows * d * 4 > _ACC_BUDGET:
         return jnp.zeros((n, d), ct.dtype).at[
             jnp.clip(idx, 0, n - 1)

@@ -34,16 +34,25 @@ from spurfies_tpu.model.renderer import (
 from spurfies_tpu.train.optim import build_optimizer
 
 
-def _calibrate_ray_budget(scene, views, cfg: Config) -> float:
-    """Measure the coarse ray-occupancy fraction over the train views.
+def _calibrate_ray_budget(scene, views, cfg: Config):
+    """Measure per-view occupancy over the train views (fine bitmap).
 
-    Returns the scene-adaptive ray_budget_frac: worst-view occupancy plus
-    a 4-sigma binomial margin for num_pixels-ray batch sampling noise,
-    capped at 1.0 (dense).  Overflow past the margin (~3e-5 of steps)
-    drops a few occupied rays from that batch — excluded from losses like
-    misses, harmless.  Pure numpy (one [F]-bool bitmap readback) so the
-    default ``ray_budget_frac=-1`` adds no XLA compile to Trainer
-    construction."""
+    Returns ``(ray_frac, probe_frac)``:
+      * ray_frac — worst-view RAY occupancy (any of the n_samples_eval
+        uniform z's lands in an occupied fine cell) plus a 4-sigma
+        binomial margin for num_pixels-ray batch sampling noise, capped
+        at 1.0 (dense).
+      * probe_frac — worst-view mean per-ray SAMPLE occupancy over the
+        ray population the ray budget keeps (occupied rays when the ray
+        budget is active, all rays otherwise), plus 4x the standard error
+        of that mean across a batch of kept rays.  This is exactly the
+        fraction of the sampler's uniform probe points that can have
+        neighbors, so it bounds field.sdf_probe's budget (VERDICT r3 #2).
+
+    Overflow past the margins (~3e-5 of steps) drops a few occupied
+    rays/samples from that batch — excluded like misses, harmless.  Pure
+    numpy (one bitmap readback) so the ``-1`` defaults add no XLA compile
+    to Trainer construction."""
     occ0 = np.asarray(scene.occ_fine).reshape(-1)          # padded flat [F']
     uv_all = np.asarray(views["uv"], dtype=np.float32)
     n_px = uv_all.shape[0]
@@ -51,15 +60,31 @@ def _calibrate_ray_budget(scene, views, cfg: Config) -> float:
         n_px, size=min(8192, n_px), replace=False
     )
     uv = uv_all[sub]
-    worst = 0.0
+    worst_ray = 0.0
+    worst_probe = 0.0
+    ray_budget_on = 0 < cfg.model.ray_budget_frac < 1 or (
+        cfg.model.ray_budget_frac < 0
+    )
     for v in range(np.asarray(views["pose"]).shape[0]):
-        occ = _rays_occupied_np(
+        samp = _samples_occupied_np(
             occ0, scene.spec, cfg.model.ray_sampler, uv,
             np.asarray(views["pose"][v]), np.asarray(views["intrinsics"][v])
-        )
-        worst = max(worst, float(occ.mean()))
-    sigma = np.sqrt(worst * (1.0 - worst) / max(cfg.train.num_pixels, 1))
-    return min(1.0, worst + 4.0 * sigma)
+        )                                                  # [P, Z] bool
+        ray_occ = samp.any(axis=1)                         # [P]
+        worst_ray = max(worst_ray, float(ray_occ.mean()))
+        per_ray = samp.mean(axis=1)                        # [P] in [0, 1]
+        kept = per_ray[ray_occ] if ray_budget_on else per_ray
+        if kept.size:
+            n_kept = max(
+                int(cfg.train.num_pixels
+                    * (float(ray_occ.mean()) if ray_budget_on else 1.0)),
+                1,
+            )
+            se = float(kept.std()) / np.sqrt(n_kept)
+            worst_probe = max(worst_probe, float(kept.mean()) + 4.0 * se)
+    sigma = np.sqrt(worst_ray * (1.0 - worst_ray)
+                    / max(cfg.train.num_pixels, 1))
+    return min(1.0, worst_ray + 4.0 * sigma), min(1.0, worst_probe)
 
 
 def _rays_occupied_np(occ0, spec, scfg, uv, pose, K):
@@ -69,6 +94,13 @@ def _rays_occupied_np(occ0, spec, scfg, uv, pose, K):
 
     Shared by the auto ray-budget calibration and the eval renderer's
     empty-chunk skip.  Returns ``[P]`` bool."""
+    return _samples_occupied_np(occ0, spec, scfg, uv, pose, K).any(axis=1)
+
+
+def _samples_occupied_np(occ0, spec, scfg, uv, pose, K):
+    """Per-(ray, uniform z sample) fine-bitmap occupancy, ``[P, Z]`` bool
+    — the sample-granular form behind :func:`_rays_occupied_np`, also
+    used to calibrate the sampler-probe budget."""
     from spurfies_tpu.ops.voxel_grid import fine_spec
 
     fs = fine_spec(spec)
@@ -93,7 +125,7 @@ def _rays_occupied_np(occ0, spec, scfg, uv, pose, K):
     in_r = np.all((ijk >= 0) & (ijk < dims), axis=-1)
     ijk = np.clip(ijk, 0, dims - 1)
     lin = (ijk[..., 0] * dims[1] + ijk[..., 1]) * dims[2] + ijk[..., 2]
-    return ((occ0[lin] != 0) & in_r).any(axis=1)
+    return (occ0[lin] != 0) & in_r
 
 
 @jax.tree_util.register_pytree_node_class
@@ -280,6 +312,23 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
                 "weights", "ray_mask")
         return {k: out[k] for k in keep}
 
+    @jax.jit
+    def occ_chunk(scene, inputs):
+        """Per-ray fine-bitmap occupancy on DEVICE (the host numpy scan
+        measured ~7 s/image at 384x512; this is one [T, n_samples_eval]
+        int8 gather, ~ms, and one [T]-bool readback)."""
+        from spurfies_tpu.core.cameras import get_camera_params
+        from spurfies_tpu.model.renderer import _coarse_ray_occupancy
+        ray_dirs_b, cam_loc_b = get_camera_params(
+            inputs["uv"], inputs["pose"], inputs["intrinsics"]
+        )
+        ray_dirs = ray_dirs_b.reshape(-1, 3)
+        cam_loc = jnp.broadcast_to(
+            cam_loc_b[:, None, :], ray_dirs_b.shape
+        ).reshape(-1, 3)
+        return _coarse_ray_occupancy(cam_loc, ray_dirs, scene,
+                                     mcfg.ray_sampler)
+
     def _empty_chunk(eff):
         """Host-side outputs for a chunk whose rays all miss — identical
         to what the renderer emits for miss rays (renderer.py miss
@@ -301,42 +350,51 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
         eff = min(chunk, -(-n // align) * align)
         pad = (-n) % eff
         uv_p = np.pad(np.asarray(uv), ((0, pad), (0, 0)))
-        # EMPTY-CHUNK SKIP: a fully-background chunk (fine-bitmap test on
-        # the host, numpy) never hits the device — its rays are
-        # guaranteed misses (superset property), so the defaults below
-        # are exactly what the renderer would return.  Real frames carry
-        # large background bands; this is the eval-side analogue of the
-        # train-side ray compaction.  cfg.train.render_skip_empty=false
-        # restores the dense loop.
-        occ_np = None
-        if cfg.train.render_skip_empty and scene.occ_fine is not None:
-            occ_np = np.asarray(scene.occ_fine).reshape(-1)
 
-        def chunk_is_empty(uv_chunk):
-            # two-stage host test: a 1/16-ray screen exits occupied
-            # chunks almost immediately (the full 128-z scan over every
-            # ray costs ~7 s/image at 384x512 — measured regression);
-            # only screen-empty chunks pay the full verification that
-            # the skip's miss defaults are exact
-            if _rays_occupied_np(occ_np, scene.spec, mcfg.ray_sampler,
-                                 uv_chunk[::16], pose, intrinsics).any():
-                return False
-            return not _rays_occupied_np(
-                occ_np, scene.spec, mcfg.ray_sampler, uv_chunk, pose,
-                intrinsics,
-            ).any()
-
-        outs = []
-        for i in range(0, n + pad, eff):
-            if occ_np is not None and chunk_is_empty(uv_p[i:i + eff]):
-                outs.append(_empty_chunk(eff))
-                continue
+        def run_chunk(uv_chunk):
             inputs = {
-                "uv": jnp.asarray(uv_p[i:i + eff])[None],
+                "uv": jnp.asarray(uv_chunk)[None],
                 "pose": pose[None],
                 "intrinsics": intrinsics[None],
             }
-            outs.append(render_chunk(tp, scene, frozen, inputs, key))
+            return render_chunk(tp, scene, frozen, inputs, key)
+
+        # PER-RAY COMPACTION (eval-side analogue of the train ray budget,
+        # VERDICT r3 #6): the fine-bitmap occupancy test runs on device
+        # per eff-slice, the OCCUPIED rays are gathered on the host
+        # (exact, data-independent shapes: every render call is eff-wide)
+        # and only those hit the renderer; background rays get the exact
+        # miss defaults (superset property — same soundness and the same
+        # exact-match test as the r3 per-chunk skip, but a full DTU frame
+        # is ~40-70% background even inside occupied chunks).
+        # cfg.train.render_skip_empty=false restores the dense loop.
+        if cfg.train.render_skip_empty and scene.occ_fine is not None:
+            occ = np.concatenate([
+                np.asarray(occ_chunk(scene, {
+                    "uv": jnp.asarray(uv_p[i:i + eff])[None],
+                    "pose": pose[None],
+                    "intrinsics": intrinsics[None],
+                }))
+                for i in range(0, n + pad, eff)
+            ])[:n]
+            out = _empty_chunk(n)
+            sel = np.nonzero(occ)[0]
+            if len(sel) == 0:
+                return out
+            pad_s = (-len(sel)) % eff
+            sel_p = np.concatenate(
+                [sel, np.zeros(pad_s, dtype=sel.dtype)]
+            )
+            for i in range(0, len(sel_p), eff):
+                o = run_chunk(uv_p[sel_p[i:i + eff]])
+                keep = min(eff, len(sel) - i)
+                for k in out:
+                    out[k][sel[i:i + keep]] = np.asarray(o[k])[:keep]
+            return out
+
+        outs = [
+            run_chunk(uv_p[i:i + eff]) for i in range(0, n + pad, eff)
+        ]
         merged = {
             k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
             for k in outs[0]
@@ -364,15 +422,20 @@ class Trainer:
 
         self.scene, latents = build_scene(k_scene, point_cloud, cfg.model,
                                           colors)
-        if cfg.model.ray_budget_frac < 0:
-            # auto ray budget: measure the scene's coarse ray-occupancy
-            # fraction over the train views once, add a 4-sigma sampling
-            # margin so 1024-ray batches essentially never overflow (a
-            # full-frame scene calibrates to 1.0 = dense, no harm)
-            frac = _calibrate_ray_budget(self.scene, views, cfg)
+        if cfg.model.ray_budget_frac < 0 or cfg.model.probe_budget_frac < 0:
+            # auto budgets: measure the scene's fine-bitmap occupancy over
+            # the train views once; 4-sigma sampling margins make batches
+            # essentially never overflow (a full-frame scene calibrates to
+            # 1.0 = dense, no harm)
+            ray_frac, probe_frac = _calibrate_ray_budget(self.scene, views,
+                                                         cfg)
+            updates = {}
+            if cfg.model.ray_budget_frac < 0:
+                updates["ray_budget_frac"] = ray_frac
+            if cfg.model.probe_budget_frac < 0:
+                updates["probe_budget_frac"] = probe_frac
             cfg = dataclasses.replace(
-                cfg, model=dataclasses.replace(cfg.model,
-                                               ray_budget_frac=frac)
+                cfg, model=dataclasses.replace(cfg.model, **updates)
             )
             self.cfg = cfg
         params = init_model_params(k_params, cfg.model)
