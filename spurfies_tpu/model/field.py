@@ -387,6 +387,24 @@ def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
     return sdf, grad
 
 
+def cumsum_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Blocked inclusive 1-D cumsum.
+
+    XLA's long 1-D cumsum on TPU runs as a near-sequential lane scan —
+    31 ms for a 131k int32 vector (r4 eval trace, compact_pair_slots'
+    rank pass, once per probe round).  Row-blocking it ([rows, 128]
+    lane-scan + recursive row offsets) makes it ~bandwidth."""
+    n = x.shape[0]
+    if n <= 512:
+        return jnp.cumsum(x)
+    pad = (-n) % 128
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, 128)
+    within = jnp.cumsum(x2, axis=1)
+    totals = within[:, -1]
+    offs = cumsum_1d(totals) - totals                   # exclusive
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
 def compact_pair_slots(valid_flat: jnp.ndarray, budget: int):
     """First-``budget`` True positions of ``valid_flat`` (static shape).
 
@@ -398,7 +416,7 @@ def compact_pair_slots(valid_flat: jnp.ndarray, budget: int):
     were dropped).
     """
     p = valid_flat.shape[0]
-    ranks = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1       # [P]
+    ranks = cumsum_1d(valid_flat.astype(jnp.int32)) - 1        # [P]
     n_valid = ranks[-1] + 1
     dest = jnp.where(valid_flat & (ranks < budget), ranks, budget)
     slot = jnp.full((budget + 1,), p, dtype=jnp.int32)

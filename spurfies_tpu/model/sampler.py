@@ -59,7 +59,7 @@ def sample_pdf(key, bins: jnp.ndarray, pdf: jnp.ndarray, n: int,
         u = jax.random.uniform(key, (r, n))
 
     # searchsorted(cdf, u, side="right") == count of cdf values <= u; the
-    # bracketing values are then masked REDUCES over the same [R, Z, U]
+    # bracketing values are then masked REDUCES over the [R, U, Z]
     # compare mask, not gathers.  A vmapped binary search measured 7.9 ms
     # at train shapes and 157 ms at eval shapes on TPU (gather-heavy
     # lowering); an index-recovery variant (comparison count + 4
@@ -67,15 +67,18 @@ def sample_pdf(key, bins: jnp.ndarray, pdf: jnp.ndarray, n: int,
     # r3) in the take lowering.  Both cdf and bins are ascending, so
     # value[last z with cdf<=u] == max(masked values) and
     # value[first z with cdf>u] == min over the complement — exact, and
-    # the whole thing is one fused VPU sweep.
-    mask = cdf[:, :, None] <= u[:, None, :]                  # [R, Z, U]
-    cdf_b = jnp.broadcast_to(cdf[:, :, None], mask.shape)
-    bins_b = jnp.broadcast_to(bins[:, :, None], mask.shape)
+    # the whole thing is one fused VPU sweep.  AXIS ORDER MATTERS: Z must
+    # be the reduced LAST axis — the [R, Z, U] middle-axis form
+    # materialized its broadcasts and cost up to 346 ms per reduce at
+    # eval shapes ([4096, 640, 128], r4 eval trace); this form fuses.
+    mask = cdf[:, None, :] <= u[:, :, None]                  # [R, U, Z]
+    cdf_b = cdf[:, None, :]
+    bins_b = bins[:, None, :]
     ninf = -jnp.inf
-    cdf_g0 = jnp.max(jnp.where(mask, cdf_b, ninf), axis=1)
-    bins_g0 = jnp.max(jnp.where(mask, bins_b, ninf), axis=1)
-    cdf_g1 = jnp.min(jnp.where(mask, jnp.inf, cdf_b), axis=1)
-    bins_g1 = jnp.min(jnp.where(mask, jnp.inf, bins_b), axis=1)
+    cdf_g0 = jnp.max(jnp.where(mask, cdf_b, ninf), axis=-1)
+    bins_g0 = jnp.max(jnp.where(mask, bins_b, ninf), axis=-1)
+    cdf_g1 = jnp.min(jnp.where(mask, jnp.inf, cdf_b), axis=-1)
+    bins_g1 = jnp.min(jnp.where(mask, jnp.inf, bins_b), axis=-1)
     # cdf[0] == 0 <= u, so the g0 mask is never empty; the complement is
     # empty iff u >= cdf[-1] (deterministic u == 1.0) — reference clamps
     # the index there (above = min(inds, Z-1)), i.e. the last column.

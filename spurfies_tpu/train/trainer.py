@@ -308,8 +308,12 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
         params = {"frozen": frozen, "train": tp}
         out = render_rays(params, scene, inputs, key, mcfg, train=False,
                           iters=iters)
+        # no weights in the eval readback: nothing downstream consumes
+        # them and the [chunk, S] plane was 43% of the per-chunk D2H
+        # transfer — which measured as ~7 s/image of host-side wall over
+        # the tunneled device (r4 eval profile)
         keep = ("rgb_values", "depth_values", "normal_map", "acc",
-                "weights", "ray_mask")
+                "ray_mask")
         return {k: out[k] for k in keep}
 
     @jax.jit
@@ -341,7 +345,6 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
             "depth_values": np.ones((eff, 1), np.float32),
             "normal_map": np.zeros((eff, 3), np.float32),
             "acc": np.zeros((eff, 1), np.float32),
-            "weights": np.zeros((eff, mcfg.max_shading_pts), np.float32),
             "ray_mask": np.zeros((eff,), bool),
         }
 
@@ -368,15 +371,19 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
         # exact-match test as the r3 per-chunk skip, but a full DTU frame
         # is ~40-70% background even inside occupied chunks).
         # cfg.train.render_skip_empty=false restores the dense loop.
+        # All chunk calls are DISPATCHED before any readback: a per-chunk
+        # np.asarray stalls the device on the host scatter + tunnel
+        # transfer every 4096 rays (the r4 full-image eval spent more
+        # wall-clock serialized on readbacks than on device compute).
         if cfg.train.render_skip_empty and scene.occ_fine is not None:
-            occ = np.concatenate([
-                np.asarray(occ_chunk(scene, {
-                    "uv": jnp.asarray(uv_p[i:i + eff])[None],
-                    "pose": pose[None],
-                    "intrinsics": intrinsics[None],
-                }))
-                for i in range(0, n + pad, eff)
-            ])[:n]
+            # one whole-image occupancy call (one dispatch + one [n]-bool
+            # readback; shapes are constant per dataset so this compiles
+            # once)
+            occ = np.asarray(occ_chunk(scene, {
+                "uv": jnp.asarray(uv_p)[None],
+                "pose": pose[None],
+                "intrinsics": intrinsics[None],
+            }))[:n]
             out = _empty_chunk(n)
             sel = np.nonzero(occ)[0]
             if len(sel) == 0:
@@ -385,8 +392,9 @@ def make_render_fn(cfg: Config, chunk: int | None = None, mesh=None,
             sel_p = np.concatenate(
                 [sel, np.zeros(pad_s, dtype=sel.dtype)]
             )
-            for i in range(0, len(sel_p), eff):
-                o = run_chunk(uv_p[sel_p[i:i + eff]])
+            outs = [run_chunk(uv_p[sel_p[i:i + eff]])
+                    for i in range(0, len(sel_p), eff)]
+            for i, o in zip(range(0, len(sel_p), eff), outs):
                 keep = min(eff, len(sel) - i)
                 for k in out:
                     out[k][sel[i:i + keep]] = np.asarray(o[k])[:keep]
