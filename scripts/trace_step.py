@@ -36,6 +36,9 @@ def parse_trace(logdir: str, top: int = 40):
                 device_pids.add(e["pid"])
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    src_agg = defaultdict(float)
+    src_cnt = defaultdict(int)
+    src_ops = defaultdict(set)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
@@ -45,12 +48,31 @@ def parse_trace(logdir: str, top: int = 40):
         agg[name] += dur
         cnt[name] += 1
         total += dur
+        a = e.get("args") or {}
+        # XLA stamps each device op with the Python frame that traced it
+        # ("source": file:line) — aggregate on that too, so anonymous
+        # fusion.NNNN names become attributable to model code.
+        src = a.get("source")
+        if src and not name.startswith(("jit_", "while")):
+            src = src.replace("/root/repo/", "")
+            src_agg[src] += dur
+            src_cnt[src] += 1
+            op = a.get("tf_op", "").rsplit("/", 1)[-1].rstrip(":")
+            if op:
+                src_ops[src].add(op)
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
     print(f"{'op':<72} {'ms':>9} {'n':>6} {'%':>6}")
     for name, ms in rows:
         print(f"{name[:72]:<72} {ms:9.2f} {cnt[name]:6d} "
               f"{100 * ms / max(total, 1e-9):6.1f}")
     print(f"total device ms: {total:.1f}")
+    if src_agg:
+        print(f"\n{'source (leaf-op attribution)':<60} {'ms':>9} {'n':>6} "
+              f"{'%':>6}  ops")
+        for src, ms in sorted(src_agg.items(), key=lambda kv: -kv[1])[:top]:
+            ops = ",".join(sorted(src_ops[src])[:4])
+            print(f"{src[:60]:<60} {ms:9.2f} {src_cnt[src]:6d} "
+                  f"{100 * ms / max(total, 1e-9):6.1f}  {ops[:40]}")
 
 
 def main():

@@ -259,6 +259,11 @@ class TrainConfig:
     render_freq: int = 500
     split_n_pixels: int = 500
     fast_iters: int = 1               # sampler iterations during training
+    scan_unroll: int = 1              # lax.scan unroll for the train window
+    #                                   (the scan's per-iteration plumbing —
+    #                                   carry copies + stacked-output
+    #                                   dynamic_update_slices — measured
+    #                                   ~2 ms/step at unroll=1, r4 trace)
     eval_iters: int = 0               # sampler iterations for eval renders;
     #                                   0 = sampler.max_total_iters (the
     #                                   reference's fast=-1 full-quality

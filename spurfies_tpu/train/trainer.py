@@ -268,7 +268,8 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
         """n_steps of training fully on device."""
         keys = jax.random.split(key, n_steps)
         return jax.lax.scan(
-            lambda s, k: train_step(bundle, s, k), state, keys
+            lambda s, k: train_step(bundle, s, k), state, keys,
+            unroll=min(cfg.train.scan_unroll, n_steps),
         )
 
     return train_window, train_step

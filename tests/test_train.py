@@ -330,3 +330,29 @@ def test_beyond_reference_losses_in_train_step():
         assert key in m and np.isfinite(float(m[key])), key
     assert float(m["cloud_anchor_loss"]) >= 0
     assert float(m["fd_eikonal_loss"]) >= 0
+
+
+def test_scan_unroll_equivalence():
+    """train.scan_unroll only changes the lax.scan loop structure (carry
+    plumbing amortization) — the trained parameters must be identical to
+    the unroll=1 window."""
+    import dataclasses
+
+    pts, cols, views = make_synthetic_scene(
+        n_points=2000, n_views=2, img_res=(32, 32)
+    )
+    states = []
+    for unroll in (1, 4):
+        cfg = dataclasses.replace(
+            TINY, train=dataclasses.replace(TINY.train, scan_unroll=unroll)
+        )
+        trainer = Trainer(cfg, pts, cols, views)
+        trainer.run(8, window=8)
+        states.append(trainer.state)
+    a, b = states
+    assert int(a.step) == int(b.step) == 8
+    la = np.asarray(a.params["feats_geometry"])
+    lb = np.asarray(b.params["feats_geometry"])
+    np.testing.assert_allclose(la, lb, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.params["beta"]),
+                               np.asarray(b.params["beta"]), atol=1e-7)
