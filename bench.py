@@ -28,6 +28,7 @@ BASELINE_RAYS_PER_SEC = 8.0e3
 def _time_scene(pts, cols, views):
     from spurfies_tpu.config import Config, ModelConfig, TrainConfig
     from spurfies_tpu.train.trainer import Trainer
+    from spurfies_tpu.utils.flops import peak_tflops, train_step_flops
 
     cfg = Config(
         model=ModelConfig(),          # reference production knobs
@@ -52,7 +53,18 @@ def _time_scene(pts, cols, views):
     trainer.run(n_steps, window=window)
     sync()
     dt = time.perf_counter() - t0
-    return n_steps * cfg.train.num_pixels / dt
+
+    # MFU: analytic model FLOPs (utils/flops.py; trainer.cfg carries the
+    # resolved auto budgets) over measured wall, vs bf16 peak
+    flops = train_step_flops(trainer.cfg)
+    tflops = flops * n_steps / dt / 1e12
+    peak = peak_tflops(jax.devices()[0].device_kind)
+    return {
+        "rays_per_sec": n_steps * cfg.train.num_pixels / dt,
+        "step_model_tflop": flops / 1e12,
+        "tflops": tflops,
+        "mfu": tflops / peak,
+    }
 
 
 def main():
@@ -67,21 +79,27 @@ def main():
     # workload; the clean uniform sphere (r1/r2 primary) is kept as a
     # secondary number for round-over-round continuity.
     d_pts, d_cols, d_views = make_dust3r_like_scene()
-    dust3r_rps = _time_scene(d_pts, d_cols, d_views)
+    dust3r = _time_scene(d_pts, d_cols, d_views)
 
     s_pts, s_cols, s_views = make_synthetic_scene(
         n_points=8000, n_views=3, img_res=(192, 256)
     )
-    sphere_rps = _time_scene(s_pts, s_cols, s_views)
+    sphere = _time_scene(s_pts, s_cols, s_views)
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(dust3r_rps, 1),
+        "value": round(dust3r["rays_per_sec"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(dust3r_rps / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(dust3r["rays_per_sec"] / BASELINE_RAYS_PER_SEC,
+                             3),
         "scene": "dust3r_like",
-        "sphere_rays_per_sec": round(sphere_rps, 1),
+        "sphere_rays_per_sec": round(sphere["rays_per_sec"], 1),
         "n_points": int(len(d_pts)),
+        # whole-step efficiency (VERDICT r4 #5): analytic model TFLOP per
+        # step, achieved TFLOP/s, and fraction of the chip's bf16 peak
+        "step_model_tflop": round(dust3r["step_model_tflop"], 4),
+        "tflops": round(dust3r["tflops"], 2),
+        "mfu": round(dust3r["mfu"], 4),
     }))
 
 

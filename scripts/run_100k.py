@@ -157,6 +157,8 @@ def main():
                 trainer.state.params["beta"]))), 5),
             "lr": round(float(sched(step)), 6),
             "ray_overflow": float(metrics.get("ray_overflow", 0.0)),
+            "probe_overflow": float(metrics.get("probe_overflow", 0.0)),
+            "notfinite": float(metrics.get("notfinite", 0.0)),
         })
 
         if step % cfg.train.checkpoint_freq == 0 or step == args.steps:

@@ -153,12 +153,18 @@ class ModelConfig:
     #                                   per-ray sample occupancy over the
     #                                   fine bitmap on the rays the ray
     #                                   budget keeps, + 4-sigma margin);
-    #                                   >0 explicit; anything else =
-    #                                   legacy 0.25.  Eval probes (iters
-    #                                   >= 2 re-probe at importance z's,
-    #                                   whose occupancy is surface-
-    #                                   concentrated) always use the
-    #                                   gated 0.25.
+    #                                   (0,1) explicit; >= 1 = DENSE (no
+    #                                   budget at all, reference-exact);
+    #                                   anything else = legacy 0.25.
+    #                                   The calibrated fraction applies
+    #                                   ONLY to the FIRST (uniform-z)
+    #                                   probe it was calibrated against;
+    #                                   importance re-probes (train
+    #                                   fast_iters >= 2 and all eval
+    #                                   probes) are surface-concentrated
+    #                                   and use the gated 0.25.  Overflow
+    #                                   surfaces as the probe_overflow
+    #                                   step metric.
     occ_compact: bool = False         # TRAIN-ONLY: compact ray samples by
     #                                   OCCUPANCY (one-int gather) BEFORE
     #                                   the kNN query, so only the S
@@ -185,6 +191,14 @@ class ModelConfig:
     #                                   [262k,64]->8k, 4.56 vs 6.67 at
     #                                   [655k,32]->8k; end-to-end step
     #                                   49.5 -> 47.1 ms (+5%) both scenes.
+    fused_agg: bool = True            # r5 fused gather+MLP+RBF+aggregate
+    #                                   Pallas path (pair_sdf_aggregate):
+    #                                   per-point outputs only, backward
+    #                                   fuses the cotangent expansion into
+    #                                   the banked latent scatter.  False
+    #                                   = r4 per-pair kernels + XLA glue.
+    #                                   Same math (near-bitwise vs r4 path,
+    #                                   tests/test_pallas_mlp.py).
     pos_multires: int = 6             # position encoding bands
     view_multires: int = 3            # view-dir encoding bands
     # voxel grid (reference pointneus_disent.py:45-62)
@@ -376,7 +390,14 @@ PRESETS: dict[str, list[str]] = {
     # Reference-exact behavior: also pins the dense (uncompacted) ray
     # batch — the default ray_budget_frac=-1 is reference-EQUIVALENT
     # (the CUDA kernel also drops miss rays) but changes the RNG stream.
+    # color_top_samples=0 restores exact quadrature (the reference colors
+    # EVERY sample, pointneus_disent.py:325-346; the top-32 default is a
+    # gated beyond-reference subsampling — VERDICT r4 weak #1), and
+    # probe_budget_frac=0 pins the legacy dense-gated sampler probe
+    # instead of the auto-calibrated occupancy budget.
     "reference_exact": ["model.ray_budget_frac=0",
+                        "model.color_top_samples=0",
+                        "model.probe_budget_frac=1",
                         "train.render_skip_empty=false"],
     # Maximum training throughput at gated quality (round-3 gates in
     # NOTES_ROUND3 "presets").

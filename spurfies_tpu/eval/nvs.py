@@ -101,10 +101,14 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
                     (np.clip(nm, 0, 1) * 255).astype(np.uint8),
                 )
             if "depth_values" in out:
+                from spurfies_tpu.eval.plots import visualize_depth
                 dep = np.asarray(out["depth_values"]).reshape(h, w)
-                dep = visualize_depth(dep)
+                acc = (np.asarray(out["acc"]).reshape(h, w)
+                       if "acc" in out else np.ones_like(dep))
+                vis = visualize_depth(dep, acc)
                 imageio.imwrite(
-                    os.path.join(out_dir, f"dep_{i:03d}.png"), dep
+                    os.path.join(out_dir, f"dep_{i:03d}.png"),
+                    (np.clip(vis, 0, 1) * 255).astype(np.uint8),
                 )
 
     results["mean_psnr"] = float(np.mean(results["psnr"]))
@@ -114,12 +118,3 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
     return results
 
 
-def visualize_depth(depth: np.ndarray, pmin: float = 1.0,
-                    pmax: float = 99.0) -> np.ndarray:
-    """Percentile-normalized turbo-style colormap for depth PNGs
-    (reference plots.visualize_depth/visualize_cmap, plots.py:392-468)."""
-    import matplotlib.cm as cm
-    lo, hi = np.percentile(depth, [pmin, pmax])
-    norm = np.clip((depth - lo) / max(hi - lo, 1e-9), 0, 1)
-    rgba = cm.get_cmap("turbo")(1.0 - norm)
-    return (rgba[..., :3] * 255).astype(np.uint8)

@@ -209,6 +209,17 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf,
       (sdf ``[M]`` — SDF_FILLER where no valid neighbor, any ``[M]`` bool).
     """
     safe_idx = jnp.maximum(idx, 0)
+    if _use_fused() and FUSED_AGG:
+        n = geo_latents.shape[0]
+        idx_ext = jnp.where(valid, safe_idx, n)
+        if not need_grad:
+            return _aggregate_sdf_value_agg(frozen, geo_latents, points,
+                                            idx_ext, x, rbf)
+        num, den, _gagg = pair_sdf_aggregate(frozen, geo_latents, points,
+                                             idx_ext, x, rbf)
+        has = den > 0
+        sdf = jnp.where(has, num / jnp.where(has, den, 1.0), SDF_FILLER)
+        return sdf, has
     if _use_fused():
         m, k = idx.shape
         g3 = gather_pair_rows(geo_latents, points, safe_idx)
@@ -236,7 +247,8 @@ def aggregate_sdf(frozen, geo_latents, points, idx, valid, x, rbf,
 
 
 def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
-              budget_frac: float | None = 0.25, need_grad: bool = True):
+              budget_frac: float | None = 0.25, need_grad: bool = True,
+              return_overflow: bool = False):
     """SDF at arbitrary world points (filler 1000 in empty space).
 
     One function replacing the reference's get_sdf_eval (:249-298),
@@ -249,6 +261,11 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     query, and only the first ``budget_frac * M`` occupied points (static
     shape) run query + pair MLP — a sorted gather/scatter replaces the
     reference's ragged CUDA compaction.  None disables (all M run, masked).
+
+    return_overflow: also return a scalar bool — True when occupied probe
+    points were dropped by the budget (they read as empty space, which
+    silently corrupts importance sampling if the budget was mis-sized;
+    callers plumb this into step telemetry like ray_budget_overflow).
     """
     from spurfies_tpu.ops.voxel_grid import fine_occupancy
 
@@ -263,6 +280,8 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
         valid = idx >= 0
         sdf, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx,
                                valid, x, rbf, need_grad=need_grad)
+        if return_overflow:
+            return sdf, jnp.asarray(False)
         return sdf
 
     # fine-occupancy prefilter (exact cell-granular superset of having
@@ -270,7 +289,7 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     occ = fine_occupancy(x, scene.occ_fine, scene.spec)
     # first `budget` occupied positions via cumsum+scatter (O(m); a sort
     # here measured ~2ms at 131k probe points)
-    sel, sel_ok, _ = compact_pair_slots(occ, budget)
+    sel, sel_ok, overflowed = compact_pair_slots(occ, budget)
     # (ray-major order already has spatial locality; cell-sorting measured
     # neutral here — see query_grid(sort_queries=...) for random batches)
 
@@ -280,9 +299,12 @@ def sdf_probe(frozen, geo_latents, scene, x, k, r, rbf,
     sdf_c, _ = aggregate_sdf(frozen, geo_latents, scene.points, idx_c,
                              valid_c, x_c, rbf, need_grad=need_grad)
     out = jnp.full((m,), SDF_FILLER, dtype=x.dtype)
-    return out.at[jnp.where(sel_ok, sel, m)].set(
+    out = out.at[jnp.where(sel_ok, sel, m)].set(
         jnp.where(sel_ok, sdf_c, SDF_FILLER), mode="drop"
     )
+    if return_overflow:
+        return out, overflowed
+    return out
 
 
 def inverse_distance_weights(x_pi: jnp.ndarray, valid: jnp.ndarray):
@@ -368,6 +390,19 @@ def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
     reference :242)."""
     from spurfies_tpu.ops.pallas_mlp import pair_sdf_rows_grad
 
+    if FUSED_AGG:
+        # r5: the aggregation runs INSIDE the kernel (pair_sdf_aggregate);
+        # only per-point stats return to HBM
+        n = geo_latents.shape[0]
+        idx_ext = jnp.where(valid, jnp.maximum(idx, 0), n)
+        num, den, gagg = pair_sdf_aggregate(frozen, geo_latents, points,
+                                            idx_ext, x, rbf)
+        has = den > 0
+        den_s = jnp.where(has, den, 1.0)
+        sdf = jnp.where(has, num / den_s, SDF_FILLER)
+        grad = gagg / den_s[:, None]
+        return sdf, grad
+
     m, k = idx.shape
     safe_idx = jnp.maximum(idx, 0)
     d = geo_latents.shape[1]
@@ -385,6 +420,126 @@ def _sdf_and_grad_fused(frozen, geo_latents, points, idx, valid, x, rbf):
     sdf = jnp.where(has, jnp.sum(w * s, axis=-1) / den, SDF_FILLER)
     grad = jnp.sum(w[..., None] * g, axis=-2) / den[..., None]
     return sdf, grad
+
+
+FUSED_AGG = False         # r5 fused gather+MLP+RBF+aggregate kernels
+#                           (pallas_mlp pair_sdf_aggregate path); False
+#                           restores the r4 per-pair kernels + XLA glue
+#                           (default flips on once TPU-gated — see NOTES)
+FUSED_AGG_R_DTYPE = jnp.bfloat16   # residual r_lat storage dtype (the
+#                                    backward's latent cotangents; r is
+#                                    already bf16-matmul-limited)
+
+
+def set_fused_agg(on: bool):
+    global FUSED_AGG
+    FUSED_AGG = on
+
+
+def _agg_fwd_impl(frozen, latents, points, idx_ext, x, rbf):
+    from spurfies_tpu.ops import pallas_mlp as pm
+
+    n, d = latents.shape
+    m, k = idx_ext.shape
+    pad = (-m) % 128
+    if pad:
+        idx_ext = jnp.pad(idx_ext, ((0, pad), (0, 0)), constant_values=n)
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+
+    table = jnp.concatenate(
+        [latents, jax.lax.stop_gradient(points).astype(latents.dtype)], 1)
+    dump = jnp.concatenate(
+        [jnp.zeros((1, d), latents.dtype),
+         jnp.full((1, 3), pm.DUMP_POS, latents.dtype)], 1)
+    table_ext = jnp.concatenate([table, dump], 0)       # [N+1, d+3]
+    g = table_ext[idx_ext.reshape(-1)]                  # [(m+pad)*k, d+3]
+
+    ws, bs, n_act = pm._prep_layers(frozen, FUSED_MLP_DTYPE)
+    interpret = jax.default_backend() != "tpu"
+    pt, w, r = pm._fused_agg_call(
+        g, x, ws, bs, k, float(rbf) ** 2,
+        compute_dtype=FUSED_MLP_DTYPE, interpret=interpret, n_act=n_act,
+        r_dtype=FUSED_AGG_R_DTYPE,
+    )
+    num, den, gagg = pt[:m, 0], pt[:m, 1], pt[:m, 2:5]
+    return (num, den, gagg), (w, r, idx_ext.reshape(-1), den, gagg)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def pair_sdf_aggregate(frozen, latents, points, idx_ext, x, rbf):
+    """(num [M], den [M], gagg [M, 3]) = RBF-aggregated frozen-MLP stats.
+
+    num = sum_k w*s, den = sum_k w, gagg = sum_k w * ds/dx — everything the
+    SDF/grad consumers need, computed in ONE fused Pallas pass per pair
+    tile with NO per-pair HBM intermediates (module note in
+    ops/pallas_mlp.py).  ``idx_ext`` is ``[M, K]`` with INVALID pairs set
+    to N (the dump row); w of a dump pair is exactly 0.
+
+    Differentiable w.r.t. latents (banked fused scatter) and x
+    (num_bar * gagg); den/gagg pullbacks are zero (detached RBF weights —
+    reference pointneus_disent.py:242 — and a.e.-zero piecewise-linear r).
+    """
+    out, _ = _agg_fwd_impl(frozen, latents, points, idx_ext, x, rbf)
+    return out
+
+
+def _pair_agg_vjp_fwd(frozen, latents, points, idx_ext, x, rbf):
+    out, res = _agg_fwd_impl(frozen, latents, points, idx_ext, x, rbf)
+    return out, (frozen, latents.shape, points.shape, res)
+
+
+def _pair_agg_vjp_bwd(rbf, resid, cot):
+    from spurfies_tpu.ops import pallas_mlp as pm
+
+    frozen, lat_shape, pts_shape, (w, r, idx_flat, den, gagg) = resid
+    num_bar, _den_bar, _gagg_bar = cot
+    n, d = lat_shape
+    m = num_bar.shape[0]
+    pad = (-m) % 128
+    sb = jnp.pad(num_bar, (0, pad))[:, None]            # [P_pad, 1]
+
+    interpret = jax.default_backend() != "tpu"
+    k = r.shape[0] // sb.shape[0]
+    lat_bar = pm._fused_agg_bwd_call(sb, w, r, idx_flat, n + 1, k,
+                                     interpret=interpret)[:n]
+    # x pullback: num = sum_k w * s(x - pos, ...) => d num/dx = gagg
+    x_bar = num_bar[:, None] * gagg
+    zero_frozen = jax.tree_util.tree_map(jnp.zeros_like, frozen)
+    zero_idx = jnp.zeros((m, r.shape[0] // sb.shape[0]),
+                         dtype=jax.dtypes.float0)
+    return (zero_frozen, lat_bar, jnp.zeros(pts_shape, x_bar.dtype),
+            zero_idx, x_bar)
+
+
+pair_sdf_aggregate.defvjp(_pair_agg_vjp_fwd, _pair_agg_vjp_bwd)
+
+
+def _aggregate_sdf_value_agg(frozen, geo_latents, points, idx_ext, x, rbf):
+    """No-grad value+aggregation fused path (probe/mesh): (sdf, has)."""
+    from spurfies_tpu.ops import pallas_mlp as pm
+
+    n, d = geo_latents.shape
+    m, k = idx_ext.shape
+    pad = (-m) % 128
+    if pad:
+        idx_ext = jnp.pad(idx_ext, ((0, pad), (0, 0)), constant_values=n)
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    table = jnp.concatenate(
+        [geo_latents, points.astype(geo_latents.dtype)], 1)
+    dump = jnp.concatenate(
+        [jnp.zeros((1, d), geo_latents.dtype),
+         jnp.full((1, 3), pm.DUMP_POS, geo_latents.dtype)], 1)
+    g = jnp.concatenate([table, dump], 0)[idx_ext.reshape(-1)]
+    ws, bs, n_act = pm._prep_layers(frozen, FUSED_MLP_DTYPE)
+    interpret = jax.default_backend() != "tpu"
+    pt = pm._fused_value_agg_call(
+        g, x, ws, bs, k, float(rbf) ** 2,
+        compute_dtype=FUSED_MLP_DTYPE, interpret=interpret, n_act=n_act,
+    )
+    num, den = pt[:m, 0], pt[:m, 1]
+    has = den > 0
+    sdf = jnp.where(has, num / jnp.where(has, den, 1.0), SDF_FILLER)
+    return sdf, has
 
 
 def cumsum_1d(x: jnp.ndarray) -> jnp.ndarray:
@@ -589,11 +744,28 @@ def aggregate_color(train_params, color_latents, points, idx, valid, x,
 
     pos_enc = positional_encoding(x_pi, pos_multires)       # [M, K, 39]
     field_in = jnp.concatenate([pos_enc, cfeat], axis=-1)   # [M, K, 103]
-    feat = mlp_apply(train_params["F_color"], field_in,
-                     compute_dtype=compute_dtype)           # [M, K, 256]
-    feat = jnp.where(valid[..., None], feat, 0.0)
+    # LINEAR-TAIL FOLD (r5, exact): F_color's last layer has no activation
+    # (reference pointneus_disent.py:100-110 — LeakyReLU after the first 3
+    # only), so it COMMUTES with the weighted aggregation:
+    #   sum_k wn_k (h_k @ W4 + b4) = (sum_k wn_k h_k) @ W4 + (sum_k wn_k) b4
+    # Running W4 on the aggregated [M, 256] instead of the pair grid
+    # [M*K, 256] cuts one of the pair-level matmuls (fwd AND its stored-
+    # activation backward) by K=8x.
+    f_color = train_params["F_color"]
+    h = mlp_apply(f_color[:-1], field_in, final_act="leaky_relu",
+                  compute_dtype=compute_dtype)              # [M, K, 256]
+    h = jnp.where(valid[..., None], h, 0.0)
     has = norm > 0
-    agg = jnp.sum(w[..., None] * feat, axis=-2) / jnp.where(has, norm, 1.0)
+    den = jnp.where(has, norm, 1.0)
+    hbar = jnp.sum(w[..., None] * h, axis=-2) / den         # [M, 256]
+    swn = (jnp.sum(w, axis=-1, keepdims=True) / den)        # 1 valid, 0 not
+    w4, b4 = f_color[-1]["w"], f_color[-1]["b"]
+    if compute_dtype is not None:
+        agg = (jnp.dot(hbar.astype(compute_dtype), w4.astype(compute_dtype),
+                       preferred_element_type=compute_dtype)
+               .astype(hbar.dtype) + swn * b4)
+    else:
+        agg = hbar @ w4 + swn * b4
 
     dir_enc = positional_encoding(ray_dirs, view_multires)  # [M, 21]
     rgb = mlp_apply(train_params["R"], jnp.concatenate([dir_enc, agg], -1),

@@ -68,6 +68,8 @@ def mlp_apply(layers, x, final_act=None, hidden_act="leaky_relu",
                 x = jax.nn.relu(x)
     if final_act == "sigmoid":
         x = jax.nn.sigmoid(x)
+    elif final_act == "leaky_relu":
+        x = jax.nn.leaky_relu(x, LEAKY_SLOPE)
     return x.astype(in_dtype)
 
 

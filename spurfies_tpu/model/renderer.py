@@ -83,7 +83,9 @@ def render_rays(params, scene, inputs, key, cfg: ModelConfig, *,
             out = _render_body(params, scene, cam_loc[slot],
                                ray_dirs[slot], depth_scale[slot], skey,
                                cfg, train=train, iters=iters)
+            probe_ovf = out.pop("probe_budget_overflow")  # scalar
             dense = _scatter_rays_back(out, slot, ok, n_rays, scfg.far)
+            dense["probe_budget_overflow"] = probe_ovf
             # telemetry: True when occupied rays were dropped from this
             # batch because the calibrated budget was too small — a
             # mis-calibrated scene shows up in the step metrics instead
@@ -185,6 +187,7 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
 
     beta_param = tp["beta"]
     beta0 = jax.lax.stop_gradient(get_beta(beta_param, cfg.density.beta_min))
+    probe_overflow = jnp.asarray(False)
     if cfg.entangled:
         # legacy model samples uniformly only (reference pointneus.py:73-75)
         from spurfies_tpu.model.sampler import uniform_z_vals
@@ -192,24 +195,35 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
                                scfg.n_samples, stratified=train)
     else:
         # probe budget: the calibrated per-sample occupancy fraction
-        # applies to TRAIN probes only (iters=1 -> the one probe runs on
-        # the uniform z grid the calibration simulated); eval probes at
-        # iters>=2 re-probe importance z's (surface-concentrated) and
-        # keep the quality-gated legacy 0.25
-        pf = (cfg.probe_budget_frac
-              if train and 0 < cfg.probe_budget_frac <= 1 else 0.25)
+        # models ONLY the first, uniform-z probe (that is what the
+        # Trainer's worst-view calibration simulated); later importance
+        # re-probes (train fast_iters >= 2, or eval iters >= 2) are
+        # surface-concentrated and keep the quality-gated legacy 0.25.
+        # The per-probe overflow flags surface in the step telemetry
+        # (probe_overflow) so a mis-calibrated budget is visible instead
+        # of silently rendering occupied probes as empty space.
+        if cfg.probe_budget_frac >= 1:
+            # dense probes, no occupancy budget at all (reference-exact)
+            pf_first = pf_rest = None
+        elif train and 0 < cfg.probe_budget_frac < 1:
+            pf_first, pf_rest = cfg.probe_budget_frac, 0.25
+        else:
+            pf_first = pf_rest = 0.25
 
-        def sdf_probe_fn(x):
+        def sdf_probe_fn(x, first=False):
             return field.sdf_probe(
                 jax.lax.stop_gradient(frozen),
                 jax.lax.stop_gradient(tp["feats_geometry"]),
                 scene, x, cfg.probe_k or cfg.k, cfg.r, cfg.rbf,
-                budget_frac=pf,
+                budget_frac=pf_first if first else pf_rest,
                 need_grad=False,
+                return_overflow=True,
             )
 
-        z_all = error_bound_z_vals(skey, sdf_probe_fn, cam_loc, ray_dirs,
-                                   scfg, beta0, iters, train)  # [R, Z]
+        z_all, probe_overflow = error_bound_z_vals(
+            skey, sdf_probe_fn, cam_loc, ray_dirs, scfg, beta0, iters,
+            train,
+        )  # [R, Z]
     z_all = jax.lax.stop_gradient(z_all)
     points = cam_loc[:, None, :] + z_all[..., None] * ray_dirs[:, None, :]
 
@@ -392,6 +406,7 @@ def _render_body(params, scene, cam_loc, ray_dirs, depth_scale, skey,
         "nbr_valid": nbr_valid,
         "cam_loc": cam_loc,
         "ray_dirs": ray_dirs,
+        "probe_budget_overflow": probe_overflow,   # scalar (telemetry)
     }
 
     if cfg.white_bkgd:

@@ -128,25 +128,31 @@ def error_bound_z_vals(key, sdf_fn, cam_loc, ray_dirs, cfg: SamplerConfig,
     """Full error-bounded sampling.
 
     Args:
-      sdf_fn: ``[M, 3] -> [M]`` no-grad SDF probe (filler 1000 empty space).
+      sdf_fn: ``([M, 3], first: bool) -> ([M], [] bool)`` no-grad SDF probe
+        (filler 1000 empty space) + a scalar probe-budget overflow flag.
+        ``first=True`` marks the initial uniform-grid probe — the only one
+        whose occupancy matches the Trainer's auto budget calibration;
+        later importance re-probes are surface-concentrated and the probe
+        must fall back to its quality-gated dense-enough budget.
       cam_loc/ray_dirs: ``[R, 3]``.
       beta0: scalar current density beta (detached by caller).
       iters: sampler iterations (train: fast=1; eval: max_total_iters).
 
     Returns:
-      z_vals ``[R, n_samples + n_samples_extra + 2]`` sorted.
+      (z_vals ``[R, n_samples + n_samples_extra + 2]`` sorted,
+       probe_overflow ``[]`` bool — OR over every probe round).
     """
     n_rays = cam_loc.shape[0]
     keys = jax.random.split(key, iters + 3)
 
-    def probe(z):
+    def probe(z, first=False):
         pts = cam_loc[:, None, :] + z[..., None] * ray_dirs[:, None, :]
-        s = sdf_fn(pts.reshape(-1, 3))
-        return jax.lax.stop_gradient(s.reshape(z.shape))
+        s, ovf = sdf_fn(pts.reshape(-1, 3), first)
+        return jax.lax.stop_gradient(s.reshape(z.shape)), ovf
 
     z_vals = uniform_z_vals(keys[0], n_rays, cfg.near, cfg.far,
                             cfg.n_samples_eval, stratified=train)
-    sdf = probe(z_vals)
+    sdf, probe_overflow = probe(z_vals, first=True)
 
     dists0 = z_vals[:, 1:] - z_vals[:, :-1]
     bound = (1.0 / (4.0 * jnp.log(jnp.asarray(cfg.eps + 1.0)))) * jnp.sum(
@@ -202,7 +208,8 @@ def error_bound_z_vals(key, sdf_fn, cam_loc, ray_dirs, cfg: SamplerConfig,
             pdf = jnp.where(converged[:, None], w_pdf, e_pdf)
             samples = sample_pdf(keys[1 + it], z_vals, pdf,
                                  cfg.n_samples_eval, deterministic=True)
-            new_sdf = probe(samples)
+            new_sdf, ovf_it = probe(samples)
+            probe_overflow = probe_overflow | ovf_it
             z_cat = jnp.concatenate([z_vals, samples], -1)
             s_cat = jnp.concatenate([sdf, new_sdf], -1)
             order = jnp.argsort(z_cat, -1)
@@ -232,4 +239,4 @@ def error_bound_z_vals(key, sdf_fn, cam_loc, ray_dirs, cfg: SamplerConfig,
         z_extra = jnp.concatenate([near_col, far_col], -1)
 
     z_all = jnp.sort(jnp.concatenate([samples, z_extra], -1), -1)
-    return z_all
+    return z_all, probe_overflow

@@ -531,3 +531,300 @@ def _gx_vjp_bwd(compute_dtype, res, cot):
 
 
 pair_sdf_rows_grad.defvjp(_gx_vjp_fwd, _gx_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-aggregation kernels (r5): gather-rows MLP + RBF weighting + per-point
+# aggregation in ONE pass.  The r4 step trace showed the pair-level HBM
+# round trips AROUND the MLP kernel — the [M*K, 3] x_pi / [M*K] s outputs,
+# the rbf-weight glue (slice_multiply/broadcast/div fusions, ~1.7 ms), the
+# [M*K, 35] f32 r round trip and the backward's s_bar*r expansion — cost
+# more than the MLP math itself.  Here the kernel emits only PER-POINT
+# aggregates (num = sum_k w*s, den = sum_k w, gagg = sum_k w*ds/dx) plus the
+# two per-pair residuals the backward needs (w f32, r_lat bf16), and the
+# backward kernel fuses the cotangent expansion with the banked latent
+# scatter so no [M*K, ·] cotangent ever hits HBM.
+#
+# Pair rows arrive POINT-MAJOR ([M, K] flattened row-major: the K neighbor
+# rows of one shading point are consecutive), so per-point reductions and
+# per-point -> per-pair broadcasts are exact 0/1 matmuls against in-kernel
+# iota-compare band matrices (MXU, trivial FLOPs) — no cross-layout
+# reshapes for Mosaic to relayout.
+#
+# Invalid pairs are encoded in the INDEX (idx = N -> a dump table row whose
+# position is 1e9): d2 ~ 1e18 makes w = exp(-rbf^2 d2) EXACTLY 0, which
+# zeroes the pair out of num/den/gagg and the backward scatter — no
+# validity mask input at all.  (reference semantics: rbf_weights masks by
+# valid, pointneus_disent.py:241-247.)
+# ---------------------------------------------------------------------------
+
+DUMP_POS = 1.0e9        # dump-row position: w = exp(-rbf^2 * ~1e18) == 0
+
+
+def _band_matrices(rows: int, pts: int, k: int, dtype):
+    """E [pts, rows] (per-point sum) and Et [rows, pts] (per-point
+    broadcast): E[p, t] = (t // k == p), built from iota compares."""
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (pts, rows), 1) // k
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (pts, rows), 0)
+    e = (t_ids == p_ids).astype(dtype)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (rows, pts), 0) // k
+    pp = jax.lax.broadcasted_iota(jnp.int32, (rows, pts), 1)
+    et = (tt == pp).astype(dtype)
+    return e, et
+
+
+def _mlp_kernel_agg(*refs, compute_dtype, n_layers, n_act, d, k, rbf2,
+                    r_dtype=jnp.bfloat16):
+    """Fused fwd: gathered rows -> MLP value + input grad -> RBF weights ->
+    per-point (num, den, gagg) + per-pair residuals (w, r_lat bf16)."""
+    g_ref, xp_ref = refs[0], refs[1]
+    w_lat, w_pos = refs[2], refs[3]
+    ws = refs[4:3 + n_layers]
+    wts = refs[3 + n_layers:3 + 2 * n_layers]
+    bs = refs[3 + 2 * n_layers:3 + 3 * n_layers]
+    out_pt_ref, out_w_ref, out_r_ref = refs[-3], refs[-2], refs[-1]
+
+    acc_t = jnp.float32
+    rows = g_ref.shape[0]
+    pts = rows // k
+    e, et = _band_matrices(rows, pts, k, acc_t)
+
+    g = g_ref[...]                                      # [T, d+3] f32
+    xp_rows = jnp.dot(et, xp_ref[...],
+                      preferred_element_type=acc_t)     # [T, 3] exact 0/1
+    xpi = xp_rows - g[:, d:]
+    d2 = jnp.sum(xpi * xpi, axis=-1, keepdims=True)     # [T, 1]
+    w = jnp.exp(-rbf2 * d2)                             # [T, 1] f32
+    out_w_ref[...] = w
+
+    a = (
+        jnp.dot(g[:, :d].astype(compute_dtype),
+                w_lat[...].astype(compute_dtype),
+                preferred_element_type=acc_t)
+        + jnp.dot(xpi.astype(compute_dtype),
+                  w_pos[...].astype(compute_dtype),
+                  preferred_element_type=acc_t)
+        + bs[0][...].astype(acc_t)
+    )
+    x = jnp.maximum(a, LEAKY_SLOPE * a)
+    gates = [jnp.where(a > 0, 1.0, LEAKY_SLOPE).astype(compute_dtype)]
+    x = x.astype(compute_dtype)
+    for i in range(1, n_layers):
+        a = jnp.dot(x, ws[i - 1][...].astype(compute_dtype),
+                    preferred_element_type=acc_t) + bs[i][...].astype(acc_t)
+        if i < n_act:
+            x = jnp.maximum(a, LEAKY_SLOPE * a)
+            gates.append(
+                jnp.where(a > 0, 1.0, LEAKY_SLOPE).astype(compute_dtype)
+            )
+            x = x.astype(compute_dtype)
+        else:
+            x = a.astype(compute_dtype)
+    s = x[:, :1].astype(acc_t)                          # [T, 1]
+
+    delta = jnp.broadcast_to(
+        wts[n_layers - 1][...].astype(compute_dtype), (rows, HID)
+    )
+    for i in range(n_act - 1, -1, -1):
+        delta = delta * gates[i]
+        delta = jnp.dot(delta, wts[i][...].astype(compute_dtype),
+                        preferred_element_type=acc_t).astype(compute_dtype)
+    r = delta.astype(acc_t)                             # [T, d+3]
+    out_r_ref[...] = r[:, :d].astype(r_dtype)
+
+    # per-point aggregation: one [P, T] x [T, 5] f32 matmul (exact sums)
+    cols = jnp.concatenate([w * s, w, w * r[:, d:]], axis=1)   # [T, 5]
+    out_pt_ref[...] = jnp.dot(e, cols, preferred_element_type=acc_t)
+
+
+def _value_kernel_agg(*refs, compute_dtype, n_layers, n_act, d, k, rbf2):
+    """Value-only fused fwd + aggregation: per-point (num, den) only
+    (no-grad probe paths)."""
+    g_ref, xp_ref = refs[0], refs[1]
+    w_lat, w_pos = refs[2], refs[3]
+    ws = refs[4:3 + n_layers]
+    bs = refs[3 + n_layers:3 + 2 * n_layers]
+    out_pt_ref = refs[-1]
+
+    acc_t = jnp.float32
+    rows = g_ref.shape[0]
+    pts = rows // k
+    e, et = _band_matrices(rows, pts, k, acc_t)
+
+    g = g_ref[...]
+    xp_rows = jnp.dot(et, xp_ref[...], preferred_element_type=acc_t)
+    xpi = xp_rows - g[:, d:]
+    d2 = jnp.sum(xpi * xpi, axis=-1, keepdims=True)
+    w = jnp.exp(-rbf2 * d2)
+
+    a = (
+        jnp.dot(g[:, :d].astype(compute_dtype),
+                w_lat[...].astype(compute_dtype),
+                preferred_element_type=acc_t)
+        + jnp.dot(xpi.astype(compute_dtype),
+                  w_pos[...].astype(compute_dtype),
+                  preferred_element_type=acc_t)
+        + bs[0][...].astype(acc_t)
+    )
+    x = jnp.maximum(a, LEAKY_SLOPE * a).astype(compute_dtype)
+    for i in range(1, n_layers):
+        a = jnp.dot(x, ws[i - 1][...].astype(compute_dtype),
+                    preferred_element_type=acc_t) + bs[i][...].astype(acc_t)
+        if i < n_act:
+            x = jnp.maximum(a, LEAKY_SLOPE * a).astype(compute_dtype)
+        else:
+            x = a.astype(compute_dtype)
+    s = x[:, :1].astype(acc_t)
+
+    cols = jnp.concatenate([w * s, w], axis=1)          # [T, 2]
+    out_pt_ref[...] = jnp.dot(e, cols, preferred_element_type=acc_t)
+
+
+def _agg_bwd_kernel(sb_ref, w_ref, r_ref, idx_ref, acc_ref, ct_ref, *,
+                    banks, rows, k, d):
+    """Backward: ct = (num_bar[point] * w * r_lat) expanded IN VMEM, then
+    banked scatter-add into the latent-grad accumulator (same bank trick
+    as ops/pallas_scatter)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    pts = rows // k
+    _, et = _band_matrices(rows, pts, k, jnp.float32)
+    sb_rows = jnp.dot(et, sb_ref[...],
+                      preferred_element_type=jnp.float32)     # [T, 1]
+    ct_ref[...] = (sb_rows * w_ref[...]) * r_ref[...].astype(jnp.float32)
+
+    def body(t, carry):
+        base = t * banks
+        for j in range(banks):
+            i = idx_ref[base + j]
+            acc_ref[j, pl.ds(i, 1), :] += ct_ref[pl.ds(base + j, 1), :]
+        return carry
+
+    jax.lax.fori_loop(0, rows // banks, body, 0)
+
+
+_AGG_ACC_BUDGET = 8 * 2 ** 20   # VMEM bytes for the bwd accumulator banks
+
+
+def _agg_tile(k: int) -> int:
+    """Pair-row tile: 128 points worth of pairs (K=8 -> 1024 rows)."""
+    return 128 * k
+
+
+@partial(jax.jit, static_argnames=("k", "rbf2", "compute_dtype",
+                                   "interpret", "n_act", "r_dtype"))
+def _fused_agg_call(g, xp, ws, bs, k, rbf2, compute_dtype=jnp.bfloat16,
+                    interpret=False, n_act=4, r_dtype=jnp.bfloat16):
+    """g [P*k, d+3] point-major pair rows (P multiple of 128), xp [P, 3].
+
+    Returns (pt [P, 5] = (num, den, gagg), w [P*k, 1], r_lat [P*k, d]).
+    """
+    rows, dim = g.shape
+    d = dim - 3
+    n_layers = len(ws)
+    tile = _agg_tile(k)
+    assert rows % tile == 0, (rows, tile)
+    w_lat, w_pos = ws[0][:d], ws[0][d:]
+    wts = tuple(w.T for w in ws)
+
+    row = lambda i: (i, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((tile, dim), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile // k, 3), row, memory_space=pltpu.VMEM),
+    ] + _wb_specs([w_lat, w_pos] + list(ws[1:]) + list(wts) + list(bs))
+
+    pt, w, r = pl.pallas_call(
+        partial(_mlp_kernel_agg, compute_dtype=compute_dtype,
+                n_layers=n_layers, n_act=n_act, d=d, k=k, rbf2=rbf2,
+                r_dtype=r_dtype),
+        grid=(rows // tile,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile // k, 5), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows // k, 5), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, d), r_dtype),
+        ],
+        interpret=interpret,
+    )(g, xp, w_lat, w_pos, *ws[1:], *wts, *bs)
+    return pt, w, r
+
+
+@partial(jax.jit, static_argnames=("k", "rbf2", "compute_dtype",
+                                   "interpret", "n_act"))
+def _fused_value_agg_call(g, xp, ws, bs, k, rbf2,
+                          compute_dtype=jnp.bfloat16, interpret=False,
+                          n_act=4):
+    """Value-only variant: returns pt [P, 2] = (num, den)."""
+    rows, dim = g.shape
+    d = dim - 3
+    n_layers = len(ws)
+    tile = _agg_tile(k)
+    assert rows % tile == 0, (rows, tile)
+    w_lat, w_pos = ws[0][:d], ws[0][d:]
+
+    row = lambda i: (i, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((tile, dim), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile // k, 3), row, memory_space=pltpu.VMEM),
+    ] + _wb_specs([w_lat, w_pos] + list(ws[1:]) + list(bs))
+
+    pt = pl.pallas_call(
+        partial(_value_kernel_agg, compute_dtype=compute_dtype,
+                n_layers=n_layers, n_act=n_act, d=d, k=k, rbf2=rbf2),
+        grid=(rows // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile // k, 2), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows // k, 2), jnp.float32),
+        interpret=interpret,
+    )(g, xp, w_lat, w_pos, *ws[1:], *bs)
+    return pt
+
+
+@partial(jax.jit, static_argnames=("n", "k", "interpret"))
+def _fused_agg_bwd_call(sb, w, r, idx, n, k, interpret=False):
+    """Latent cotangent: out[n_, :] += sum over pairs hitting n_ of
+    num_bar[point] * w * r_lat.  idx == n targets the dump row (dropped).
+
+    Returns [n, d] f32 latent grads.
+    """
+    rows, d = r.shape
+    tile = _agg_tile(k)
+    assert rows % tile == 0, (rows, tile)
+    np_rows = -(-(n + 1) // 8) * 8
+    banks = _AGG_ACC_BUDGET // (np_rows * d * 4)
+    banks = max(1, min(8, 1 << max(0, banks.bit_length() - 1)))
+    if np_rows * d * 4 > _AGG_ACC_BUDGET:
+        # accumulator exceeds VMEM: XLA fallback (huge point clouds)
+        pts = rows // k
+        et_sb = jnp.repeat(sb, k, axis=0)
+        ct = (et_sb * w) * r.astype(jnp.float32)
+        return jnp.zeros((n, d), jnp.float32).at[
+            jnp.minimum(idx, n - 1)
+        ].add(jnp.where((idx < n)[:, None], ct, 0.0))
+
+    row = lambda i: (i, 0)  # noqa: E731
+    acc = pl.pallas_call(
+        partial(_agg_bwd_kernel, banks=banks, rows=tile, k=k, d=d),
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile // k, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((banks, np_rows, d), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((banks, np_rows, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        interpret=interpret,
+    )(sb, w, r, idx)
+    return jnp.sum(acc, axis=0)[:n]

@@ -12,6 +12,7 @@ TPU redesign:
 """
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -228,9 +229,13 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
         parts["psnr"] = psnr_fn(
             out["rgb_values"], batch["gt"]["rgb"].reshape(-1, 3)
         )
-        # budget telemetry: 1.0 on steps where occupied rays were dropped
-        # by the calibrated ray budget (window sums reported by run())
+        # budget telemetry: 1.0 on steps where occupied rays (or occupied
+        # sampler-probe points) were dropped by a calibrated budget
+        # (window sums reported by run())
         parts["ray_overflow"] = out["ray_budget_overflow"].astype(
+            jnp.float32
+        )
+        parts["probe_overflow"] = out["probe_budget_overflow"].astype(
             jnp.float32
         )
         return loss, parts
@@ -261,6 +266,12 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # non-finite-gradient skips (finite_guarded_clip): surface the
+        # consecutive-skip counter so a persistently-NaN run is visible in
+        # the window metrics instead of silently spinning (ADVICE r4)
+        parts["notfinite"] = getattr(
+            opt_state, "notfinite_count", jnp.asarray(0)
+        ).astype(jnp.float32)
         return TrainState(params, opt_state, state.step + 1), parts
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -423,8 +434,9 @@ class Trainer:
         enable_compilation_cache()
         self.cfg = cfg
         self.local_bundle = local_bundle
-        from spurfies_tpu.model.field import set_scatter_mode
+        from spurfies_tpu.model.field import set_fused_agg, set_scatter_mode
         set_scatter_mode(cfg.model.scatter_mode)
+        set_fused_agg(cfg.model.fused_agg)
         seed = cfg.train.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         k_scene, k_params, self.key = jax.random.split(key, 3)
@@ -559,14 +571,27 @@ class Trainer:
             self.state, parts = self.train_window(self.state, self.bundle,
                                                   sub, w)
             done += w
+            if "notfinite" in parts:
+                # finite_guarded_clip zeroes updates on non-finite grads;
+                # a whole window of consecutive skips means the run is
+                # spinning without learning — fail loudly (the reference's
+                # on_after_backward skip has trainer-level visibility via
+                # its loss logs; ADVICE r4 backstop)
+                consec = float(np.asarray(parts["notfinite"])[-1])
+                if consec >= max(w, 100):
+                    raise RuntimeError(
+                        f"{int(consec)} consecutive non-finite-gradient "
+                        f"steps at step {int(self.state.step)}; aborting "
+                        "(every update in the last window was skipped)"
+                    )
             if callback is not None:
                 last = {k: np.asarray(v)[-1] for k, v in parts.items()}
-                if "ray_overflow" in parts:
-                    # count per window, not last-step value: overflows are
-                    # rare single-step events the last-step read would miss
-                    last["ray_overflow"] = float(
-                        np.asarray(parts["ray_overflow"]).sum()
-                    )
+                for k in ("ray_overflow", "probe_overflow"):
+                    if k in parts:
+                        # count per window, not last-step value: overflows
+                        # are rare single-step events the last-step read
+                        # would miss
+                        last[k] = float(np.asarray(parts[k]).sum())
                 callback(int(self.state.step), last)
         return self.state
 
@@ -601,9 +626,7 @@ class Trainer:
             "step": self.state.step,
             "opt_state": self.state.opt_state,
         }
-        meta = ckptr.metadata(path)
-        tree = getattr(meta, "item_metadata", meta)
-        has_opt = "opt_state" in tree
+        has_opt = self._ckpt_has_compatible_opt_state(ckptr, path)
         if not has_opt:
             target.pop("opt_state")
         restored = ckptr.restore(path, target)
@@ -614,3 +637,75 @@ class Trainer:
             TrainState(restored["params"], opt_state, restored["step"])
         )
         self.load_frozen(self.frozen)
+
+    def _ckpt_has_compatible_opt_state(self, ckptr, path: str) -> bool:
+        """True iff the checkpoint stores an opt_state whose STRUCTURE
+        matches the current optimizer.
+
+        Three generations of checkpoints exist: round-1 (no opt_state),
+        pre-r4 (ApplyIfFiniteState wrapper) and current (FiniteGuardState).
+        A structure mismatch must degrade to a fresh-optimizer restore
+        with a warning — not raise (ADVICE r4) — while a genuinely corrupt
+        checkpoint still raises from the restore itself.  The metadata
+        probe is also guarded against orbax version drift (item_metadata
+        None / non-dict metadata objects): it falls back to listing the
+        checkpoint's subdirectories.
+        """
+        import warnings
+
+        try:
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", None)
+            if tree is None:
+                tree = meta
+            has_opt = "opt_state" in tree
+            opt_meta = tree["opt_state"] if has_opt else None
+        except (TypeError, KeyError, AttributeError):
+            has_opt = os.path.isdir(os.path.join(path, "opt_state"))
+            opt_meta = ...   # unknown structure: trust + let restore check
+        if not has_opt:
+            return False
+        if opt_meta is not None and opt_meta is not ...:
+            # structural compatibility: compare the flattened key paths of
+            # the stored opt_state against the live optimizer's.  Orbax
+            # metadata mirrors the saved pytree as nested dicts (NamedTuple
+            # fields become dict keys, masked None leaves become entries
+            # with value_type='None'); the live tree uses attribute paths
+            # and hides MaskedNode/None — normalize both to name tuples
+            # and drop the None placeholders before comparing.
+            def _names(kp):
+                out = []
+                for e in kp:
+                    for attr in ("key", "name", "idx"):
+                        if hasattr(e, attr):
+                            out.append(str(getattr(e, attr)))
+                            break
+                    else:
+                        out.append(str(e))
+                return tuple(out)
+
+            def key_set(t, drop_none_entries):
+                flat = jax.tree_util.tree_flatten_with_path(t)[0]
+                out = set()
+                for kp, leaf in flat:
+                    if (drop_none_entries
+                            and getattr(leaf, "value_type", None)
+                            in ("None", "NoneType")):
+                        continue
+                    out.add(_names(kp))
+                return out
+
+            try:
+                stored = key_set(opt_meta, True)
+                live = key_set(self.state.opt_state, False)
+            except Exception:
+                return True   # metadata not tree-like; let restore decide
+            if stored != live:
+                warnings.warn(
+                    "checkpoint opt_state structure does not match the "
+                    "current optimizer (saved by an older revision?); "
+                    "restoring params only with a fresh optimizer state",
+                    stacklevel=3,
+                )
+                return False
+        return True

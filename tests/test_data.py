@@ -133,15 +133,20 @@ class TestConfig:
     def test_presets(self):
         from spurfies_tpu.config import PRESETS
 
-        # reference_exact differs from the default ONLY in pinning the
-        # dense ray batch + dense eval chunk loop — the defaults
-        # (ray_budget_frac=-1, render_skip_empty) are
-        # reference-equivalent compactions
+        # reference_exact pins the dense ray batch + dense eval chunk loop
+        # (the defaults ray_budget_frac=-1 / render_skip_empty are
+        # reference-equivalent compactions) AND resets every beyond-
+        # reference default: exact quadrature (color_top_samples=0 — the
+        # reference colors every sample) and dense sampler probes
         ref = apply_overrides(Config(), ["preset=reference_exact"])
         assert ref.model.ray_budget_frac == 0
         assert ref.train.render_skip_empty is False
+        assert ref.model.color_top_samples == 0
+        assert ref.model.probe_budget_frac >= 1
         assert apply_overrides(
             ref, ["model.ray_budget_frac=-1",
+                  "model.color_top_samples=32",
+                  "model.probe_budget_frac=-1",
                   "train.render_skip_empty=true"]) == Config()
         # later explicit overrides win over preset values
         cfg = apply_overrides(

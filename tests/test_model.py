@@ -344,10 +344,10 @@ class TestSampler:
         scene, params = sphere_scene
         scfg = SamplerConfig(near=0.5, far=4.5)
 
-        def sdf_fn(x):
+        def sdf_fn(x, first=False):
             return field.sdf_probe(
                 params["frozen"], params["train"]["feats_geometry"], scene,
-                x, CFG.k, CFG.r, CFG.rbf,
+                x, CFG.k, CFG.r, CFG.rbf, return_overflow=True,
             )
 
         n = 8
@@ -355,7 +355,7 @@ class TestSampler:
         dirs = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
         dirs[:, 0] = np.linspace(-0.3, 0.3, n)
         dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-        z = error_bound_z_vals(
+        z, _ovf = error_bound_z_vals(
             jax.random.PRNGKey(0), sdf_fn, cam, jnp.asarray(dirs), scfg,
             jnp.asarray(0.1), iters, train,
         )

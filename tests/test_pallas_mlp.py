@@ -265,3 +265,161 @@ class TestFusedColor:
                     rtol=1e-3, atol=2e-4,
                     err_msg=f"R[{li}].{key}",
                 )
+
+
+class TestFusedAggregation:
+    """r5 fused gather+MLP+RBF+aggregate path (field.pair_sdf_aggregate /
+    ops.pallas_mlp _fused_agg_call family) vs the plain-XLA reference."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = ModelConfig()
+        params = init_model_params(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(0)
+        n, m, k = 300, 200, 8
+        lat = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32)) * 0.1
+        pts = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, n, (m, k)), jnp.int32)
+        valid = jnp.asarray(rng.uniform(size=(m, k)) > 0.3)
+        valid = valid.at[:5].set(False)          # fully-empty points
+        x = jnp.asarray(rng.uniform(-0.5, 0.5, (m, 3)).astype(np.float32))
+        return params["frozen"], lat, pts, idx, valid, x
+
+    def _run(self, setup, mode, agg, need_grad=True):
+        frozen, lat, pts, idx, valid, x = setup
+        try:
+            field.set_fused_mlp(mode, jnp.float32)
+            field.set_fused_agg(agg)
+            field.FUSED_AGG_R_DTYPE = jnp.float32
+            if need_grad:
+                return field.sdf_and_grad(frozen, lat, pts, idx, valid, x,
+                                          45.0)
+            return field.aggregate_sdf(frozen, lat, pts, idx, valid, x,
+                                       45.0, need_grad=False)
+        finally:
+            field.set_fused_mlp("auto", jnp.float32)
+            field.set_fused_agg(False)
+            field.FUSED_AGG_R_DTYPE = jnp.bfloat16
+
+    def test_forward_parity(self, setup):
+        # vs the r4 fused path: identical matmul association, so the only
+        # difference is the in-kernel aggregation — near-bitwise
+        s_r4, g_r4 = self._run(setup, "on", False)
+        s_new, g_new = self._run(setup, "on", True)
+        np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_r4),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_r4),
+                                   rtol=1e-6, atol=1e-7)
+        # vs the pure-XLA path: the split first-layer matmul can flip a
+        # LeakyReLU gate on kink rows (pre-existing r4 fused-path artifact,
+        # not an aggregation error) — compare loosely, bounding the count
+        s_ref, g_ref = self._run(setup, "off", False)
+        np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref),
+                                   rtol=1e-4, atol=1e-5)
+        gerr = np.abs(np.asarray(g_new) - np.asarray(g_ref))
+        tol = 1e-4 * np.abs(np.asarray(g_ref)) + 1e-5
+        assert float((gerr > tol).mean()) < 0.02
+
+    def test_value_agg_parity(self, setup):
+        s_ref, has_ref = self._run(setup, "off", False, need_grad=False)
+        s_new, has_new = self._run(setup, "on", True, need_grad=False)
+        np.testing.assert_array_equal(np.asarray(has_new),
+                                      np.asarray(has_ref))
+        np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_latent_grad_parity(self, setup):
+        frozen, lat, pts, idx, valid, x = setup
+        c = jnp.asarray(np.random.default_rng(7)
+                        .normal(size=(x.shape[0],)).astype(np.float32))
+
+        def loss(latents, mode, agg):
+            try:
+                field.set_fused_mlp(mode, jnp.float32)
+                field.set_fused_agg(agg)
+                field.FUSED_AGG_R_DTYPE = jnp.float32
+                s, g = field.sdf_and_grad(frozen, latents, pts, idx, valid,
+                                          x, 45.0)
+            finally:
+                field.set_fused_mlp("auto", jnp.float32)
+                field.set_fused_agg(False)
+                field.FUSED_AGG_R_DTYPE = jnp.bfloat16
+            return jnp.sum(jnp.where(s < 500.0, s, 0.0) * c)
+
+        g_ref = jax.grad(lambda p: loss(p, "off", False))(lat)
+        g_new = jax.grad(lambda p: loss(p, "on", True))(lat)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_x_grad_parity(self, setup):
+        frozen, lat, pts, idx, valid, x = setup
+        c = jnp.asarray(np.random.default_rng(8)
+                        .normal(size=(x.shape[0],)).astype(np.float32))
+
+        def loss(xq, mode, agg):
+            try:
+                field.set_fused_mlp(mode, jnp.float32)
+                field.set_fused_agg(agg)
+                field.FUSED_AGG_R_DTYPE = jnp.float32
+                s, _ = field.sdf_and_grad(frozen, lat, pts, idx, valid, xq,
+                                          45.0)
+            finally:
+                field.set_fused_mlp("auto", jnp.float32)
+                field.set_fused_agg(False)
+                field.FUSED_AGG_R_DTYPE = jnp.bfloat16
+            return jnp.sum(jnp.where(s < 500.0, s, 0.0) * c)
+
+        g_ref = jax.grad(lambda q: loss(q, "off", False))(x)
+        g_new = jax.grad(lambda q: loss(q, "on", True))(x)
+        # both are valid a.e. subgradients; LeakyReLU kinks may disagree
+        # on a measure-zero set — compare loosely plus finite differences
+        # at the worst entry (finite diff sided with the fused path when
+        # this was validated, /tmp parity3 r5)
+        err = np.abs(np.asarray(g_new) - np.asarray(g_ref))
+        scale = np.abs(np.asarray(g_ref)).max() + 1e-12
+        frac_mismatched = float((err > 1e-3 * scale + 1e-7).mean())
+        assert frac_mismatched < 0.02, frac_mismatched
+
+
+class TestColorLinearTailFold:
+    """aggregate_color's W4 fold (sum_k wn (h W4 + b4) == (sum wn h) W4 +
+    (sum wn) b4) must be exact vs applying F_color densely per pair."""
+
+    def test_matches_dense_apply(self):
+        from spurfies_tpu.model.networks import mlp_apply
+
+        cfg = ModelConfig()
+        params = init_model_params(jax.random.PRNGKey(2), cfg)
+        tp = params["train"]
+        rng = np.random.default_rng(3)
+        n, m, k = 120, 64, 8
+        lat = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32)) * 0.1
+        pts = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, n, (m, k)), jnp.int32)
+        valid = jnp.asarray(rng.uniform(size=(m, k)) > 0.3)
+        x = jnp.asarray(rng.uniform(-0.5, 0.5, (m, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        rgb_fold = field.aggregate_color(tp, lat, pts, idx, valid, x, dirs,
+                                         45.0, compute_dtype=None)
+
+        # dense reference: full F_color per pair, then aggregate
+        from spurfies_tpu.core.embedder import positional_encoding
+        safe = jnp.maximum(idx, 0)
+        x_pi = x[:, None, :] - pts[safe]
+        w, norm = field.rbf_weights(x_pi, valid, 45.0)
+        pe = positional_encoding(x_pi, 6)
+        feat = mlp_apply(tp["F_color"],
+                         jnp.concatenate([pe, lat[safe]], -1))
+        feat = jnp.where(valid[..., None], feat, 0.0)
+        has = norm > 0
+        agg = jnp.sum(w[..., None] * feat, -2) / jnp.where(has, norm, 1.0)
+        de = positional_encoding(dirs, 3)
+        rgb_ref = mlp_apply(tp["R"], jnp.concatenate([de, agg], -1),
+                            final_act="sigmoid")
+
+        np.testing.assert_allclose(np.asarray(rgb_fold),
+                                   np.asarray(rgb_ref),
+                                   rtol=1e-5, atol=1e-6)
