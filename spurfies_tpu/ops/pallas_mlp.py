@@ -705,7 +705,16 @@ def _agg_bwd_kernel(sb_ref, w_ref, r_ref, idx_ref, acc_ref, ct_ref, *,
     jax.lax.fori_loop(0, rows // banks, body, 0)
 
 
-_AGG_ACC_BUDGET = 8 * 2 ** 20   # VMEM bytes for the bwd accumulator banks
+_AGG_ACC_BUDGET = 12 * 2 ** 20  # TRUE VMEM bytes for the bwd accumulator
+#                                 banks (must clear the 16 MB scoped-vmem
+#                                 stack limit with headroom for the ct
+#                                 scratch tile + concurrently scheduled
+#                                 kernels).  NOTE the (8,128) f32 tiling
+#                                 pads the lane dim: a [rows, 32] bank
+#                                 really occupies rows x 128 lanes — 4x
+#                                 nominal.  r5 compile OOM on hardware
+#                                 (32.75M > 16M for [8, 7872, 32]) came
+#                                 from budgeting nominal bytes.
 
 
 def _agg_tile(k: int) -> int:
@@ -799,9 +808,11 @@ def _fused_agg_bwd_call(sb, w, r, idx, n, k, interpret=False):
     tile = _agg_tile(k)
     assert rows % tile == 0, (rows, tile)
     np_rows = -(-(n + 1) // 8) * 8
-    banks = _AGG_ACC_BUDGET // (np_rows * d * 4)
+    d_lanes = -(-d // 128) * 128          # f32 (8,128) tiling pads lanes
+    bank_bytes = np_rows * d_lanes * 4
+    banks = _AGG_ACC_BUDGET // bank_bytes
     banks = max(1, min(8, 1 << max(0, banks.bit_length() - 1)))
-    if np_rows * d * 4 > _AGG_ACC_BUDGET:
+    if bank_bytes > _AGG_ACC_BUDGET:
         # accumulator exceeds VMEM: XLA fallback (huge point clouds)
         pts = rows // k
         et_sb = jnp.repeat(sb, k, axis=0)

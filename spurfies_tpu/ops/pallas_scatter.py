@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 # vmem region — a 10 MB budget compiled fine in the dense train graph but
 # hit "scoped vmem limit exceeded (19.22M > 16M)" once the ray-compacted
 # graph changed the schedule.
-_ACC_BUDGET = 5 * 2 ** 20
+_TRUE_ACC_BUDGET = 12 * 2 ** 20  # lane-padded VMEM bytes for the banks
 _MAX_BANKS = 8
 
 
@@ -66,7 +66,13 @@ def scatter_add_rows(ct: jnp.ndarray, idx: jnp.ndarray, n: int,
     m, d = ct.shape
     # dump row for invalid/padding indices, then sublane-align
     np_rows = -(-(n + 1) // 8) * 8
-    banks = min(_MAX_BANKS, max(1, _ACC_BUDGET // (np_rows * d * 4)))
+    # the f32 (8,128) tiling pads the lane dim: a [rows, d<128] bank
+    # occupies rows x 128 lanes in VMEM (r5 fix — budgeting nominal bytes
+    # let the accumulator blow the 16 MB scoped-vmem stack limit on
+    # hardware once the schedule changed)
+    d_lanes = -(-d // 128) * 128
+    bank_bytes = np_rows * d_lanes * 4
+    banks = min(_MAX_BANKS, max(1, _TRUE_ACC_BUDGET // bank_bytes))
 
     # NEGATIVE RESULT (r4, don't retry): splitting wide rows (d=64) into
     # two d=32 scatters to regain banks (3 -> 6) wins standalone (2.14 ->
@@ -75,7 +81,7 @@ def scatter_add_rows(ct: jnp.ndarray, idx: jnp.ndarray, n: int,
     # HBM traffic and the halves serialize against the graph's other VMEM
     # -resident kernels.
 
-    if banks < 1 or np_rows * d * 4 > _ACC_BUDGET:
+    if banks < 1 or bank_bytes > _TRUE_ACC_BUDGET:
         return jnp.zeros((n, d), ct.dtype).at[
             jnp.clip(idx, 0, n - 1)
         ].add(jnp.where(((idx >= 0) & (idx < n))[:, None], ct, 0.0))
