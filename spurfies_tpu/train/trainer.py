@@ -274,14 +274,32 @@ def make_train_step(cfg: Config, tx, use_local: bool = False, mesh=None):
         ).astype(jnp.float32)
         return TrainState(params, opt_state, state.step + 1), parts
 
+    # run() reads only the LAST value of each metric (plus window sums of
+    # the rare-event counters), so metrics ride the scan CARRY instead of
+    # stacked ys — the per-step dynamic_update_slice stacking showed up as
+    # ~1.3 ms/step of scan-machinery ops at window=50 (trace r5)
+    _SUM_KEYS = ("ray_overflow", "probe_overflow")
+
     @partial(jax.jit, static_argnames=("n_steps",))
     def train_window(state: TrainState, bundle, key, n_steps: int):
         """n_steps of training fully on device."""
         keys = jax.random.split(key, n_steps)
-        return jax.lax.scan(
-            lambda s, k: train_step(bundle, s, k), state, keys,
+        _, parts_sd = jax.eval_shape(train_step, bundle, state, keys[0])
+        acc0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), parts_sd)
+
+        def body(carry, k):
+            s, acc = carry
+            s2, parts = train_step(bundle, s, k)
+            acc = {kk: (acc[kk] + v if kk in _SUM_KEYS else v)
+                   for kk, v in parts.items()}
+            return (s2, acc), None
+
+        (state, acc), _ = jax.lax.scan(
+            body, (state, acc0), keys,
             unroll=min(cfg.train.scan_unroll, n_steps),
         )
+        return state, acc
 
     return train_window, train_step
 
@@ -577,7 +595,8 @@ class Trainer:
                 # spinning without learning — fail loudly (the reference's
                 # on_after_backward skip has trainer-level visibility via
                 # its loss logs; ADVICE r4 backstop)
-                consec = float(np.asarray(parts["notfinite"])[-1])
+                nf = np.asarray(parts["notfinite"])
+                consec = float(nf if nf.ndim == 0 else nf[-1])
                 if consec >= max(w, 100):
                     raise RuntimeError(
                         f"{int(consec)} consecutive non-finite-gradient "
@@ -585,13 +604,13 @@ class Trainer:
                         "(every update in the last window was skipped)"
                     )
             if callback is not None:
-                last = {k: np.asarray(v)[-1] for k, v in parts.items()}
-                for k in ("ray_overflow", "probe_overflow"):
-                    if k in parts:
-                        # count per window, not last-step value: overflows
-                        # are rare single-step events the last-step read
-                        # would miss
-                        last[k] = float(np.asarray(parts[k]).sum())
+                # train_window reports each metric's last-step value, with
+                # the overflow counters pre-summed over the window (rare
+                # single-step events a last-step read would miss)
+                last = {}
+                for k, v in parts.items():
+                    v = np.asarray(v)
+                    last[k] = v if v.ndim == 0 else v[-1]
                 callback(int(self.state.step), last)
         return self.state
 
