@@ -83,6 +83,23 @@ def evaluate(trainer, cfg, radius, resolution=128):
     pred = ro["rgb_values"]
     mse = float(np.mean((pred[mask] - gt[mask]) ** 2))
     out["masked_psnr"] = round(-10.0 * np.log10(max(mse, 1e-12)), 2)
+
+    # beta-floor diagnostic (r5): on the clean synthetic scene the trained
+    # beta anneals to ~|1e-4| where the quadrature can no longer resolve
+    # the near-step density (speckle), dropping raw eval PSNR at the
+    # horizon even as geometry/color improve.  A render at a resolvable
+    # beta separates model quality from quadrature sharpness: measured
+    # 43.0 dB @30k -> 43.9 dB @100k (default run) vs 34.3 -> 30.9 raw.
+    import jax.numpy as jnp
+    p2 = dict(trainer.state.params)
+    p2["beta"] = jnp.asarray(0.003, jnp.float32)
+    ro2 = trainer.render_image(
+        p2, np.asarray(trainer.views["uv"]),
+        trainer.views["pose"][view], trainer.views["intrinsics"][view],
+        jax.random.PRNGKey(0),
+    )
+    mse2 = float(np.mean((ro2["rgb_values"][mask] - gt[mask]) ** 2))
+    out["masked_psnr_beta3e3"] = round(-10.0 * np.log10(max(mse2, 1e-12)), 2)
     return out
 
 
