@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--prior", default="artifacts/local_prior")
     ap.add_argument("--ckpt-dir", default="/tmp/run100k_ckpts")
     ap.add_argument("--out", default="artifacts/run100k.json")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted run: restore the latest "
+                         "checkpoint in --ckpt-dir and append to --out")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -152,6 +155,29 @@ def main():
 
     done = 0
     killed = False
+    if args.resume:
+        latest = max(
+            (int(d.split("_")[1]) for d in os.listdir(args.ckpt_dir)
+             if d.startswith("step_")),
+            default=None,
+        )
+        if latest is None:
+            raise SystemExit(f"--resume: no checkpoints in {args.ckpt_dir}")
+        trainer.restore_checkpoint(ckpt_path(latest))
+        done = int(trainer.state.step)
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            record["windows"] = [w for w in prev.get("windows", [])
+                                 if w["step"] <= done]
+            record["evals"] = {k: v for k, v in prev.get("evals", {}).items()
+                               if int(k) <= done}
+            record["events"] = prev.get("events", [])
+        killed = any("kill+resume" in e.get("event", "")
+                     for e in record["events"]) or done >= args.kill_at
+        record["events"].append(
+            {"step": done, "event": f"host-resume from {latest}"})
+        print(f"[run100k] resuming at step {done}", flush=True)
     t_wall = time.perf_counter()
     while done < args.steps:
         w = min(args.window, args.steps - done)

@@ -16,13 +16,17 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_trace(logdir: str, top: int = 40):
-    """Aggregate device-op durations from the .trace.json.gz perfetto dump."""
+def parse_trace(logdir: str, top: int = 40, quiet: bool = False):
+    """Aggregate device-op durations from the .trace.json.gz perfetto dump.
+
+    Returns {"ops": {name: ms}, "op_counts": {...}, "sources": {src: ms},
+    "source_ops": {src: set(op)}, "total_ms": float} so other tools
+    (scripts/roofline_table.py) can classify buckets programmatically."""
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
         print("no trace file found under", logdir)
-        return
+        return None
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
@@ -60,6 +64,11 @@ def parse_trace(logdir: str, top: int = 40):
             op = a.get("tf_op", "").rsplit("/", 1)[-1].rstrip(":")
             if op:
                 src_ops[src].add(op)
+    result = {"ops": dict(agg), "op_counts": dict(cnt),
+              "sources": dict(src_agg), "source_ops": dict(src_ops),
+              "total_ms": total}
+    if quiet:
+        return result
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
     print(f"{'op':<72} {'ms':>9} {'n':>6} {'%':>6}")
     for name, ms in rows:
@@ -73,6 +82,7 @@ def parse_trace(logdir: str, top: int = 40):
             ops = ",".join(sorted(src_ops[src])[:4])
             print(f"{src[:60]:<60} {ms:9.2f} {src_cnt[src]:6d} "
                   f"{100 * ms / max(total, 1e-9):6.1f}  {ops[:40]}")
+    return result
 
 
 def main():
