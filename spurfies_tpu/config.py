@@ -408,10 +408,13 @@ PRESETS: dict[str, list[str]] = {
     # XLA:TPU compile helper; the renderer ignores it when both are on.
     # (ray_budget_frac=-1 became the DEFAULT in r3 once the fine bitmap
     # made the auto budget bite; it stays here for configs that override
-    # the default off.)  train.eval_iters=3: eval renders at 10.7k rays/s
-    # vs 6.8k at the reference's 5 iters (384x512, v5e), masked PSNR
-    # identical, rgb-L1 drift 0.0064 vs the 5-iter render (bench_eval,
-    # 300-step scene).
+    # the default off.)  train.eval_iters=3: eval renders at 19.3k rays/s
+    # vs 13.6k at the reference's 5 iters (384x512, v5e, r5 post
+    # ray-compacted eval + sample_pdf fixes; was 10.7k/6.8k pre-fix),
+    # masked PSNR identical (-0.01 dB), rgb-L1 drift 0.0054 vs the
+    # 5-iter render (bench_eval, 300-step scene).  iters=2 measures
+    # 22.6k at the same gate (PSNR -0.02 dB, drift 0.0065 ~= the
+    # accepted iters=3 gate) for configs that want the >=20k point.
     "throughput": [
         "model.probe_k=1",
         "model.ray_budget_frac=-1",
