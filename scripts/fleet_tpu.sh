@@ -9,7 +9,11 @@
 set -u
 WORK=/tmp/fleet_tpu_r05
 rm -rf "$WORK"; mkdir -p "$WORK"; cd "$WORK" || exit 1
-export PYTHONPATH=/root/repo
+# APPEND to PYTHONPATH: overwriting it drops the host's sitecustomize
+# dir (e.g. /root/.axon_site), which is what registers the TPU PJRT
+# plugin — overwrite and every jax init dies with "Unable to initialize
+# backend".
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 ln -sf /root/repo/artifacts artifacts
 
 echo "=== fleet on real TPU r5: one host, two scenes, sequential ==="
