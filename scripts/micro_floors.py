@@ -30,6 +30,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,45 @@ def timeit(fn, *args, perturb=0, n=8, r=R_ITERS):
     return max(dt - _NULL_MS, 0.0) / r
 
 
+def timeit_device(fn, *args, n=10, warmup=2, logdir="/tmp/floor_trace"):
+    """Per-call DEVICE time via the profiler: (total_device_ms, by_op).
+
+    Times n plain enqueued calls under a jax.profiler trace and sums the
+    device-op durations, excluding the jit_* wrapper events (whose
+    durations include their children).  Unlike the scan harness this
+    excludes host dispatch EXACTLY, and the by_op breakdown separates
+    the kernel proper from XLA's input-staging copies — the scan
+    harness charged both to the op (r5 finding: the fused-agg "floor"
+    read 5.05 ms of which only 3.52 was the kernel; 1.2 was relayout
+    copies the production step never pays because its inputs are
+    produced in-layout).
+    """
+    import shutil
+
+    from trace_step import parse_trace
+    from spurfies_tpu.utils.profiling import trace
+
+    for _ in range(warmup):
+        out = fn(*args)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].ravel()[:1]
+                  .astype(jnp.float32)))
+    shutil.rmtree(logdir, ignore_errors=True)
+    with trace(logdir):
+        for _ in range(n):
+            out = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].ravel()[:1]
+                      .astype(jnp.float32)))
+    r = parse_trace(logdir, quiet=True)
+    by_op = {}
+    total = 0.0
+    for name, ms in r["ops"].items():
+        if name.startswith(("jit_", "while")):
+            continue
+        by_op[name] = round(ms / n, 3)
+        total += ms / n
+    return total, dict(sorted(by_op.items(), key=lambda kv: -kv[1]))
+
+
 def main():
     global _NULL_MS
     ap = argparse.ArgumentParser()
@@ -87,8 +127,11 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--n-points", type=int, default=6040)
     ap.add_argument("--color-top", type=int, default=32)
-    ap.add_argument("--probe-rows", type=int, default=26624,
-                    help="probe budget points (bp); pairs = bp * k")
+    ap.add_argument("--probe-rows", type=int, default=11520,
+                    help="probe budget points (bp); pairs = bp * k. "
+                    "Default = the bench scene's CALIBRATED first-probe "
+                    "budget (832 rays x 128 z x 0.1086 occupancy, "
+                    "128-aligned), not the legacy 0.25 fraction")
     ap.add_argument("--out", default="/tmp/micro_floors.json")
     args = ap.parse_args()
 
@@ -173,25 +216,47 @@ def main():
     down = _mlp_flops([256, 256, 256, 256, d + 3])
 
     interp = jax.default_backend() != "tpu"
+
+    def agg_call(g, x):
+        return pm._fused_agg_call(g, x, ws, bs, args.k, 100.0,
+                                  compute_dtype=jnp.bfloat16,
+                                  n_act=n_act, interpret=interp)
+
     g, x = mk_inputs(M_geo)
-    ms = timeit(lambda g, x: pm._fused_agg_call(
-        g, x, ws, bs, args.k, 100.0, compute_dtype=jnp.bfloat16,
-        n_act=n_act, interpret=interp), g, x, perturb=1, n=6)
-    F["agg_fwd_kernel"] = round(ms, 3)
+    ms, by_op = timeit_device(jax.jit(agg_call), g, x)
+    kms = max((v for k, v in by_op.items() if "agg" in k or "custom" in k),
+              default=ms)
+    F["agg_fwd_kernel"] = round(kms, 3)
+    F["agg_fwd_staging_copies"] = round(ms - kms, 3)
     tfl = M_geo * (up + down) / 1e12
     out["agg_fwd_tflop"] = round(tfl, 4)
-    print(f"agg_fwd_kernel: {ms:.3f} ms  {tfl / (ms / 1e3):.0f} TF/s "
-          f"({100 * tfl / (ms / 1e3) / out['anchor_bf16_tflops']:.0f}% of "
-          f"measured peak)")
+    print(f"agg_fwd_kernel: {kms:.3f} ms device ({ms - kms:.3f} ms staging "
+          f"copies excluded)  {tfl / (kms / 1e3):.0f} TF/s "
+          f"({100 * tfl / (kms / 1e3) / out['anchor_bf16_tflops']:.0f}% of "
+          f"measured-peak model flops; the [*,35]x[35,256] up-projection "
+          f"pads 35 lanes to 128 on the MXU)")
+
+    # pseudo-sdf loss runs a second, small agg pass at the cloud points
+    m_pseudo = -(-args.n_points // 128) * 128 * args.k
+    gp, xp_ = mk_inputs(m_pseudo)
+    ms, by_op = timeit_device(jax.jit(agg_call), gp, xp_)
+    kms = max((v for k, v in by_op.items() if "agg" in k or "custom" in k),
+              default=ms)
+    F["agg_fwd_pseudo_kernel"] = round(kms, 3)
+    print(f"agg_fwd_pseudo_kernel ({m_pseudo} pairs): {kms:.3f} ms device")
 
     gv, xv = mk_inputs(M_val)
-    ms = timeit(lambda g, x: pm._fused_value_agg_call(
-        g, x, ws, bs, args.k, 100.0, compute_dtype=jnp.bfloat16,
-        n_act=n_act, interpret=interp), gv, xv, perturb=1, n=6)
-    F["value_agg_kernel"] = round(ms, 3)
+    ms, by_op = timeit_device(jax.jit(
+        lambda g, x: pm._fused_value_agg_call(
+            g, x, ws, bs, args.k, 100.0, compute_dtype=jnp.bfloat16,
+            n_act=n_act, interpret=interp)), gv, xv)
+    kms = max((v for k, v in by_op.items() if "agg" in k or "custom" in k),
+              default=ms)
+    F["value_agg_kernel"] = round(kms, 3)
     tfl_v = M_val * up / 1e12
     out["value_agg_tflop"] = round(tfl_v, 4)
-    print(f"value_agg_kernel: {ms:.3f} ms  {tfl_v / (ms / 1e3):.0f} TF/s")
+    print(f"value_agg_kernel: {kms:.3f} ms device  "
+          f"{tfl_v / (kms / 1e3):.0f} TF/s")
 
     # ---- fused agg fwd+bwd via the public custom-vjp path ---------------
     from spurfies_tpu.model.field import pair_sdf_aggregate
@@ -204,13 +269,19 @@ def main():
         num, den, gagg = pair_sdf_aggregate(frozen, lat, pts, idx, xq, 0.1)
         return jnp.sum(num) + jnp.sum(gagg)
 
+    # scan harness here, NOT timeit_device: for MULTI-OP graphs the
+    # perfetto dump lists ops on several device tracks (XLA Ops +
+    # module/trace rows), so summing op durations over-counts (measured:
+    # the same grad graph reads 9.5 ms by track-sum vs 2.4 ms by scan
+    # wall difference, while its in-step trace bucket is 2.8 ms).  The
+    # scan difference (fwd+bwd) - (fwd) also cancels input staging.
     ms_f = timeit(fwd_only, lat, xq, perturb=0, n=6)
     ms_fb = timeit(jax.grad(fwd_only, argnums=(0, 1)), lat, xq,
                    perturb=0, n=6)
     F["agg_fwd_via_vjp"] = round(ms_f, 3)
     F["agg_bwd_incl_scatter"] = round(ms_fb - ms_f, 3)
     print(f"agg fwd {ms_f:.3f} ms; fwd+bwd {ms_fb:.3f} ms -> bwd floor "
-          f"{ms_fb - ms_f:.3f} ms")
+          f"{ms_fb - ms_f:.3f} ms (scan)")
 
     # ---- trainable color stack fwd+bwd (bandwidth-bound bucket) ---------
     mc = args.rk * args.color_top
@@ -234,6 +305,7 @@ def main():
                         final_act="sigmoid", compute_dtype=jnp.bfloat16)
         return jnp.sum(rgb)
 
+    # scan harness (multi-op graph; see the bwd note above)
     cgrad = jax.grad(color, argnums=0)
     ms = timeit(cgrad, (f_color, r_net), w_rbf, field_in, dir_enc,
                 perturb=1, n=6)
