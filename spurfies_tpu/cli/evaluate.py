@@ -29,7 +29,7 @@ DEFAULT_SCANS = {
 
 def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
                resolution: int = 512, out_root: str = "results",
-               max_views=None, auto_iso: bool = False):
+               max_views=None, auto_iso: bool = False, eval_ids=None):
     import jax
     from spurfies_tpu.model import field
     from spurfies_tpu.train.trainer import Trainer
@@ -106,7 +106,8 @@ def eval_scene(cfg: Config, scan: str, do_mesh: bool, do_render: bool,
                      "reporting PSNR/SSIM only")
         res = evaluate_views(trainer.render_image, trainer.state.params, sd,
                              out_dir=out_dir, lpips_fn=lpips_fn,
-                             max_views=max_views)
+                             max_views=max_views, view_ids=eval_ids)
+        summary["eval_ids"] = [int(v) for v in res["ids"]]
         summary["nvs"] = {k: res[k] for k in
                           ("mean_psnr", "mean_ssim", "psnr", "ssim")}
         if "mean_lpips" in res:
@@ -131,6 +132,9 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--max-views", type=int, default=None,
                     help="cap the number of eval views rendered")
+    ap.add_argument("--eval-ids", default=None,
+                    help="comma-separated view ids to score (subset of "
+                         "the eval split); default = protocol order")
     ap.add_argument("--auto-iso", action="store_true",
                     help="extract at the self-calibrated iso level "
                          "(debiases the pseudo-loss depth skew)")
@@ -149,7 +153,9 @@ def main(argv=None):
     summaries = [
         eval_scene(cfg, s.strip(), args.mesh, args.rendering,
                    args.resolution, args.out, max_views=args.max_views,
-                   auto_iso=args.auto_iso)
+                   auto_iso=args.auto_iso,
+                   eval_ids=[int(v) for v in args.eval_ids.split(",")]
+                   if args.eval_ids else None)
         for s in scans
     ]
     if any("nvs" in s for s in summaries):

@@ -32,7 +32,7 @@ def quantize_png(img: np.ndarray) -> np.ndarray:
 
 def evaluate_views(render_image, params, scene_data, out_dir=None,
                    lpips_fn=None, save_images=True, quantize=True,
-                   max_views=None):
+                   max_views=None, view_ids=None):
     """Render + score every eval view.
 
     Args:
@@ -42,6 +42,10 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
       lpips_fn: optional callable(img1 [H,W,3], img2) -> float.
       quantize: score the 8-bit PNG roundtrip of the prediction (the
         reference protocol, eval_spurfies.py:229-233); False scores floats.
+      view_ids: optional iterable of view ids — score only eval views
+        whose id is in it (e.g. views angularly adjacent to the train
+        triplet on synthetic full-ring fixtures, where the protocol's
+        first-N eval views image the never-observed far side).
 
     Returns:
       dict with per-view and mean psnr/ssim (+lpips when available).
@@ -51,16 +55,19 @@ def evaluate_views(render_image, params, scene_data, out_dir=None,
     h, w = scene_data.img_res
     uv = scene_data.uv
     vs = scene_data.eval or scene_data.train
-    n_views = len(vs.ids)
+    sel = list(range(len(vs.ids)))
+    if view_ids is not None:
+        want = {int(v) for v in view_ids}
+        sel = [i for i in sel if int(vs.ids[i]) in want]
     if max_views is not None:
-        n_views = min(n_views, int(max_views))
+        sel = sel[: int(max_views)]
     results = {"psnr": [], "ssim": [], "lpips": [],
-               "ids": list(vs.ids)[:n_views]}
+               "ids": [vs.ids[i] for i in sel]}
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
-    for i in range(n_views):
+    for i in sel:
         out = render_image(
             params, uv, vs.pose[i], vs.intrinsics[i],
             jax.random.PRNGKey(0),

@@ -272,3 +272,37 @@ class TestNvsProtocol:
         # prediction onto the 8-bit lattice (gt is not on-lattice here, so
         # psnr is finite but different)
         assert rq["psnr"][0] != rf["psnr"][0]
+
+    def test_evaluate_views_view_ids_select(self, rng):
+        # --eval-ids plumbing: only the requested eval ids are scored, in
+        # viewset order, and max_views caps AFTER selection (r5: protocol
+        # first-N on full-ring synthetic fixtures images the unobserved
+        # far side)
+        from spurfies_tpu.eval.nvs import evaluate_views
+
+        class SD:
+            img_res = (4, 4)
+            uv = np.zeros((16, 2), np.float32)
+            train = None
+
+        class VS:
+            ids = [1, 9, 23, 24]
+            rgb = [np.full((16, 3), 0.1 * k, np.float32) for k in range(4)]
+            mask = [np.ones((16, 3), np.float32)] * 4
+            pose = [np.eye(4, dtype=np.float32)] * 4
+            intrinsics = [np.eye(4, dtype=np.float32)] * 4
+
+        sd = SD(); sd.eval = VS()
+        calls = []
+
+        def render(params, uv, pose, K, key):
+            calls.append(1)
+            return {"rgb_values": np.full((16, 3), 0.1, np.float32)}
+
+        r = evaluate_views(render, None, sd, save_images=False,
+                           view_ids=[23, 24, 99])
+        assert r["ids"] == [23, 24] and len(r["psnr"]) == 2
+        assert len(calls) == 2
+        r2 = evaluate_views(render, None, sd, save_images=False,
+                            view_ids=[23, 24], max_views=1)
+        assert r2["ids"] == [23]
